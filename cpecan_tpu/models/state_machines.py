@@ -1,0 +1,486 @@
+"""Pair-HMM state machines, TPU-native formulation.
+
+The reference expresses each state machine as a per-cell C callback firing a
+fan of `doTransition` calls (impl/stateMachine.c:830-1510).  Here each machine
+is a *declarative* object:
+
+  * a static, ordered list of (from, to) transitions per source direction
+    ("lower" = consumes an X element, "middle" = consumes both, "upper" =
+    consumes a Y element), in exactly the reference's call order so that the
+    strict engine can reproduce its floating-point fold order;
+  * a ``weights_fn(d, base) -> {dir: (w_0[W], w_1[W], ...)}`` closure giving
+    each transition's per-cell log-weight (emission + transition) along band
+    diagonal ``d`` whose lowest x-coordinate is ``base``.
+
+All per-position features (kmer indices, model params, event params) are
+precomputed as padded device arrays so that ``weights_fn`` is just a couple
+of dynamic slices + elementwise math — the natural shape for `lax.scan` and
+Pallas.
+
+Reference constructors mirrored here:
+  StateMachine5   impl/stateMachine.c:902-959   (fiveState DNA)
+  StateMachine3   impl/stateMachine.c:1513-1561 (threeState; nucleotide or
+                                                 nanopore strawman defaults)
+  StateMachine4   impl/stateMachine.c:961-1040  (fourState signal)
+  SM3Vanilla      impl/stateMachine.c:1610-1650 (nanopolish-style)
+  SM3-HDP         impl/stateMachine.c:1563-1608
+  Echelon         impl/stateMachine.c:1652-1692
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    LOG_ZERO, MATCH, SHORT_GAP_X, SHORT_GAP_Y, LONG_GAP_X, LONG_GAP_Y,
+    NUM_OF_KMERS, N_SENTINEL, KMER_LENGTH,
+)
+from ..io.poremodel import (
+    PoreModel, LEVEL_MEAN, LEVEL_SD, NOISE_MEAN, NOISE_SD, NOISE_LAMBDA,
+)
+from . import kmers
+from .emissions import log_gauss_pdf, poisson_posterior_prob
+
+LOG_TENTH = -2.3025850929940455  # log(0.1), impl/stateMachine.c:1557
+
+
+# ---------------------------------------------------------------------------
+# Slicing helpers: per-diagonal views of per-position feature arrays.
+# ---------------------------------------------------------------------------
+
+def pad_x_array(arr, W, sentinel):
+    """arr[x] is the feature of the X element consumed entering column x
+    (i.e. element x-1); arr[0] must already be the sentinel.  Pads the end so
+    a dynamic slice of size W starting at any base in [0, lX] is in range."""
+    pad = np.full(W, sentinel, dtype=arr.dtype)
+    return np.concatenate([arr, pad])
+
+
+def pad_y_array(arr, W, sentinel):
+    """Same for Y features, padded on both sides (slices run backwards)."""
+    pad = np.full(W, sentinel, dtype=arr.dtype)
+    return np.concatenate([pad, arr, pad])
+
+
+def slice_x(arr, base, W):
+    return jax.lax.dynamic_slice_in_dim(arr, base, W)
+
+
+def slice_y(arr_padded, d, base, W):
+    start = jnp.maximum(d - base + 1, 0)
+    return jnp.flip(jax.lax.dynamic_slice_in_dim(arr_padded, start, W))
+
+
+# ---------------------------------------------------------------------------
+# DpProblem: everything the engine needs for one alignment problem.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ExpectationSpec:
+    kind: str                 # 'discrete' | 'signal3'
+    symbol_set_size: int = 0  # for 'discrete' (emission table K)
+    n_emission_bins: int = 0  # for 'signal3' (kmer-gap table size)
+
+
+@dataclass
+class DpProblem:
+    """One alignment problem, fully described for the scan engine.
+
+    ``feats`` is a pytree of device arrays (per-position features, emission
+    tables, transition params); ``weights_fn(feats, d, base)`` is a *pure*
+    function of them, so the engine can be jitted once per shape bucket and
+    vmapped across a batch of reads by batching ``feats``.
+    """
+
+    S: int
+    match_state: int
+    transitions: dict                       # {'lower'|'middle'|'upper': ((frm,to),...)}
+    feats: dict
+    weights_fn: Callable                    # (feats, d, base) -> {dir: tuple of [W] arrays}
+    start: jnp.ndarray                      # [S]
+    end: jnp.ndarray
+    ragged_start: jnp.ndarray
+    ragged_end: jnp.ndarray
+    W: int
+    # emission element indices for EM expectation accumulation
+    x_elem_idx: jnp.ndarray = None          # padded x array (int32)
+    y_elem_idx: jnp.ndarray = None          # padded y array (int32)
+    expectation_spec: ExpectationSpec = None
+    multi_match_states: int = 0             # echelon: posterior over states match1..5
+
+
+def _vec(values, dtype):
+    return jnp.asarray(np.array(values, dtype=np.float64), dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# 5-state DNA machine (fiveState / fiveStateAsymmetric)
+# ---------------------------------------------------------------------------
+
+# Default log transition params, impl/stateMachine.c:921-938.
+SM5_DEFAULTS = dict(
+    match_continue=-0.030064059121770816,
+    match_from_short_gap_x=-1.272871422049609,
+    match_from_long_gap_x=-5.673280173170473,
+    gap_short_open_x=-4.34381910900448,
+    gap_short_extend_x=-0.3388262689231553,
+    gap_short_switch_to_x=-4.910694825551255,
+    gap_long_open_x=-6.30810595366929,
+    gap_long_extend_x=-0.003442492794189331,
+    gap_long_switch_to_x=-6.30810595366929,
+)
+
+# Default DNA emission tables, impl/stateMachine.c:60-82.
+EMISSION_MATCH = -2.1149196655034745
+EMISSION_TRANSVERSION = -4.5691014376830479
+EMISSION_TRANSITION = -3.9833860032220842
+EMISSION_GAP = -1.6094379124341003  # log(0.2)
+LOG_QUARTER = -1.386294361          # impl/stateMachine.c:159 (N gap prob)
+LOG_QUARTER_SQ = -2.772588722       # impl/stateMachine.c:170 (N match prob)
+
+
+def default_dna_match_table():
+    m = np.array([
+        [EMISSION_MATCH, EMISSION_TRANSVERSION, EMISSION_TRANSITION, EMISSION_TRANSVERSION],
+        [EMISSION_TRANSVERSION, EMISSION_MATCH, EMISSION_TRANSVERSION, EMISSION_TRANSITION],
+        [EMISSION_TRANSITION, EMISSION_TRANSVERSION, EMISSION_MATCH, EMISSION_TRANSVERSION],
+        [EMISSION_TRANSVERSION, EMISSION_TRANSITION, EMISSION_TRANSVERSION, EMISSION_MATCH],
+    ])
+    return m
+
+
+def _extend_tables_with_n(match4, gapx4, gapy4):
+    """Row/col 4 holds the reference's N fallback values
+    (impl/stateMachine.c:155-173)."""
+    match5 = np.full((5, 5), LOG_QUARTER_SQ)
+    match5[:4, :4] = match4
+    gapx5 = np.concatenate([gapx4, [LOG_QUARTER]])
+    gapy5 = np.concatenate([gapy4, [LOG_QUARTER]])
+    return match5, gapx5, gapy5
+
+
+class StateMachine5:
+    """Classic 5-state affine-gap DNA pair-HMM."""
+
+    S = 5
+    match_state = MATCH
+    # Transition fan in the reference's call order (impl/stateMachine.c:830-866).
+    transitions = {
+        "lower": ((MATCH, SHORT_GAP_X), (SHORT_GAP_X, SHORT_GAP_X),
+                  (MATCH, LONG_GAP_X), (LONG_GAP_X, LONG_GAP_X)),
+        "middle": ((MATCH, MATCH), (SHORT_GAP_X, MATCH), (SHORT_GAP_Y, MATCH),
+                   (LONG_GAP_X, MATCH), (LONG_GAP_Y, MATCH)),
+        "upper": ((MATCH, SHORT_GAP_Y), (SHORT_GAP_Y, SHORT_GAP_Y),
+                  (MATCH, LONG_GAP_Y), (LONG_GAP_Y, LONG_GAP_Y)),
+    }
+
+    def __init__(self, params=None, match_table=None, gap_x_table=None,
+                 gap_y_table=None):
+        p = dict(SM5_DEFAULTS) if params is None else dict(params)
+        # Symmetric by construction unless overridden (impl/stateMachine.c:930-938).
+        for k in list(p):
+            if k.endswith("_x") and k[:-2] + "_y" not in p:
+                p[k[:-2] + "_y"] = p[k]
+        self.p = p
+        self.match_table = default_dna_match_table() if match_table is None else match_table
+        self.gap_x_table = np.full(4, EMISSION_GAP) if gap_x_table is None else gap_x_table
+        self.gap_y_table = np.full(4, EMISSION_GAP) if gap_y_table is None else gap_y_table
+
+    # start/end vectors: impl/stateMachine.c:744-790
+    def start_vec(self):
+        return [0.0, LOG_ZERO, LOG_ZERO, LOG_ZERO, LOG_ZERO]
+
+    def ragged_start_vec(self):
+        return [LOG_ZERO, LOG_ZERO, LOG_ZERO, 0.0, 0.0]
+
+    def end_vec(self):
+        p = self.p
+        return [p["match_continue"], p["match_from_short_gap_x"],
+                p["match_from_short_gap_y"], p["match_from_long_gap_x"],
+                p["match_from_long_gap_y"]]
+
+    def ragged_end_vec(self):
+        p = self.p
+        return [p["gap_long_open_x"], p["gap_long_open_x"], p["gap_long_open_y"],
+                p["gap_long_extend_x"], p["gap_long_extend_y"]]
+
+    def _tp(self, names):
+        return [self.p[n] for n in names]
+
+    def build(self, seq_x: str, seq_y: str, W: int, dtype=jnp.float64) -> DpProblem:
+        l_x, l_y = len(seq_x), len(seq_y)
+        match5, gapx5, gapy5 = _extend_tables_with_n(
+            self.match_table, self.gap_x_table, self.gap_y_table)
+
+        bx = np.minimum(kmers.seq_to_base_indices(seq_x), 4)
+        by = np.minimum(kmers.seq_to_base_indices(seq_y), 4)
+        fx = pad_x_array(np.concatenate([[4], bx]).astype(np.int32), W, 4)
+        fy = pad_y_array(np.concatenate([[4], by]).astype(np.int32), W, 4)
+
+        feats = dict(
+            fx=jnp.asarray(fx), fy=jnp.asarray(fy),
+            match_t=jnp.asarray(match5, dtype=dtype),
+            gapx_t=jnp.asarray(gapx5, dtype=dtype),
+            gapy_t=jnp.asarray(gapy5, dtype=dtype),
+            tp_lower=_vec(self._tp(["gap_short_open_x", "gap_short_extend_x",
+                                    "gap_long_open_x", "gap_long_extend_x"]), dtype),
+            tp_middle=_vec(self._tp(["match_continue", "match_from_short_gap_x",
+                                     "match_from_short_gap_y", "match_from_long_gap_x",
+                                     "match_from_long_gap_y"]), dtype),
+            tp_upper=_vec(self._tp(["gap_short_open_y", "gap_short_extend_y",
+                                    "gap_long_open_y", "gap_long_extend_y"]), dtype),
+        )
+
+        def weights_fn(f, d, base):
+            ix = slice_x(f["fx"], base, W)
+            iy = slice_y(f["fy"], d, base, W)
+            e_gap_x = f["gapx_t"][ix]
+            e_match = f["match_t"][ix, iy]
+            e_gap_y = f["gapy_t"][iy]
+            return {
+                "lower": tuple(e_gap_x + f["tp_lower"][i] for i in range(4)),
+                "middle": tuple(e_match + f["tp_middle"][i] for i in range(5)),
+                "upper": tuple(e_gap_y + f["tp_upper"][i] for i in range(4)),
+            }
+
+        xi = jnp.asarray(pad_x_array(np.concatenate([[1000], np.minimum(
+            kmers.seq_to_base_indices(seq_x), 1000)]).astype(np.int32), W, 1000))
+        yi = jnp.asarray(pad_y_array(np.concatenate([[1000], np.minimum(
+            kmers.seq_to_base_indices(seq_y), 1000)]).astype(np.int32), W, 1000))
+
+        return DpProblem(
+            S=self.S, match_state=self.match_state, transitions=self.transitions,
+            feats=feats, weights_fn=weights_fn,
+            start=_vec(self.start_vec(), dtype), end=_vec(self.end_vec(), dtype),
+            ragged_start=_vec(self.ragged_start_vec(), dtype),
+            ragged_end=_vec(self.ragged_end_vec(), dtype),
+            W=W, x_elem_idx=xi, y_elem_idx=yi,
+            expectation_spec=ExpectationSpec(kind="discrete", symbol_set_size=4),
+        )
+
+
+# ---------------------------------------------------------------------------
+# 3-state machines
+# ---------------------------------------------------------------------------
+
+# impl/stateMachine.c:1266-1277
+SM3_NUCLEOTIDE_DEFAULTS = dict(
+    match_continue=-0.030064059121770816,
+    match_from_gap_x=-1.272871422049609,
+    match_from_gap_y=-1.272871422049609,
+    gap_open_x=-4.21256642,
+    gap_open_y=-4.21256642,
+    gap_extend_x=-0.3388262689231553,
+    gap_extend_y=-0.3388262689231553,
+    gap_switch_to_x=-4.910694825551255,
+    gap_switch_to_y=-4.910694825551255,
+)
+
+# impl/stateMachine.c:1279-1290
+SM3_NANOPORE_DEFAULTS = dict(
+    match_continue=-0.23552123624314988,
+    match_from_gap_x=-0.21880828092192281,
+    match_from_gap_y=-0.013406326748077823,
+    gap_open_x=-1.6269694202638481,
+    gap_open_y=-4.3187242127300092,
+    gap_extend_x=-1.6269694202638481,
+    gap_extend_y=-4.3187242127239411,
+    gap_switch_to_x=LOG_ZERO,
+    gap_switch_to_y=LOG_ZERO,
+)
+
+
+class _StateMachine3Base:
+    S = 3
+    match_state = MATCH
+    # impl/stateMachine.c:1306-1335
+    transitions = {
+        "lower": ((MATCH, SHORT_GAP_X), (SHORT_GAP_X, SHORT_GAP_X),
+                  (SHORT_GAP_Y, SHORT_GAP_X)),
+        "middle": ((MATCH, MATCH), (SHORT_GAP_X, MATCH), (SHORT_GAP_Y, MATCH)),
+        "upper": ((MATCH, SHORT_GAP_Y), (SHORT_GAP_Y, SHORT_GAP_Y)),
+    }
+
+    def __init__(self, params):
+        self.p = dict(params)
+
+    # impl/stateMachine.c:1169-1208
+    def start_vec(self):
+        return [0.0, LOG_ZERO, LOG_ZERO]
+
+    def ragged_start_vec(self):
+        return [LOG_ZERO, 0.0, 0.0]
+
+    def end_vec(self):
+        p = self.p
+        return [p["match_continue"], p["match_from_gap_x"], p["match_from_gap_y"]]
+
+    def ragged_end_vec(self):
+        p = self.p
+        return [(p["gap_open_x"] + p["gap_open_y"]) / 2.0,
+                p["gap_extend_x"], p["gap_extend_y"]]
+
+    def _tps(self, dtype):
+        p = self.p
+        return (
+            _vec([p["gap_open_x"], p["gap_extend_x"], p["gap_switch_to_x"]], dtype),
+            _vec([p["match_continue"], p["match_from_gap_x"], p["match_from_gap_y"]], dtype),
+            _vec([p["gap_open_y"], p["gap_extend_y"]], dtype),
+        )
+
+
+class StateMachine3Nucleotide(_StateMachine3Base):
+    """threeState DNA machine (symbol emissions)."""
+
+    def __init__(self, params=None, match_table=None, gap_x_table=None,
+                 gap_y_table=None):
+        super().__init__(params or SM3_NUCLEOTIDE_DEFAULTS)
+        self.match_table = default_dna_match_table() if match_table is None else match_table
+        self.gap_x_table = np.full(4, EMISSION_GAP) if gap_x_table is None else gap_x_table
+        self.gap_y_table = np.full(4, EMISSION_GAP) if gap_y_table is None else gap_y_table
+
+    def build(self, seq_x, seq_y, W, dtype=jnp.float64):
+        match5, gapx5, gapy5 = _extend_tables_with_n(
+            self.match_table, self.gap_x_table, self.gap_y_table)
+        bx = np.minimum(kmers.seq_to_base_indices(seq_x), 4)
+        by = np.minimum(kmers.seq_to_base_indices(seq_y), 4)
+        tp_l, tp_m, tp_u = self._tps(dtype)
+        feats = dict(
+            fx=jnp.asarray(pad_x_array(np.concatenate([[4], bx]).astype(np.int32), W, 4)),
+            fy=jnp.asarray(pad_y_array(np.concatenate([[4], by]).astype(np.int32), W, 4)),
+            match_t=jnp.asarray(match5, dtype=dtype),
+            gapx_t=jnp.asarray(gapx5, dtype=dtype),
+            gapy_t=jnp.asarray(gapy5, dtype=dtype),
+            tp_l=tp_l, tp_m=tp_m, tp_u=tp_u,
+        )
+
+        def weights_fn(f, d, base):
+            ix = slice_x(f["fx"], base, W)
+            iy = slice_y(f["fy"], d, base, W)
+            e_gap_x = f["gapx_t"][ix]
+            e_match = f["match_t"][ix, iy]
+            e_gap_y = f["gapy_t"][iy]
+            return {
+                "lower": tuple(e_gap_x + f["tp_l"][i] for i in range(3)),
+                "middle": tuple(e_match + f["tp_m"][i] for i in range(3)),
+                "upper": tuple(e_gap_y + f["tp_u"][i] for i in range(2)),
+            }
+
+        return DpProblem(
+            S=3, match_state=MATCH, transitions=self.transitions,
+            feats=feats, weights_fn=weights_fn,
+            start=_vec(self.start_vec(), dtype), end=_vec(self.end_vec(), dtype),
+            ragged_start=_vec(self.ragged_start_vec(), dtype),
+            ragged_end=_vec(self.ragged_end_vec(), dtype),
+            W=W,
+            expectation_spec=ExpectationSpec(kind="discrete", symbol_set_size=4),
+        )
+
+
+def _signal_model_x_features(model_rows, kx, W):
+    """Gather per-x model params (level/noise mean+sd) for kmer index array kx
+    (kx[0] is the sentinel for x=0).  Invalid kmers get 0 mean / 0 sd, which
+    log_gauss_pdf maps to LOG_ZERO (the reference's guard)."""
+    valid = kx <= NUM_OF_KMERS
+    safe = np.clip(kx, 0, NUM_OF_KMERS - 1)
+    feats = {}
+    for name, col in (("lvl_mu", LEVEL_MEAN), ("lvl_sd", LEVEL_SD),
+                      ("nz_mu", NOISE_MEAN), ("nz_sd", NOISE_SD)):
+        v = np.where(valid, model_rows[safe, col], 0.0)
+        feats[name] = jnp.asarray(pad_x_array(v, W, 0.0))
+    return feats
+
+
+class StateMachine3SignalStrawman(_StateMachine3Base):
+    """threeState nanopore signal machine ("strawMan",
+    getStrawManStateMachine3, impl/stateMachine.c:1775-1785).
+
+    X = reference 6-mers, Y = events.  Match and gap-Y emissions are
+    independent Gaussians over (event mean, event noise)
+    (emissions_signal_strawManGetKmerEventMatchProb, impl/stateMachine.c:596-630);
+    gap-X emission is a per-kmer table initialised to log(0.1)
+    (impl/stateMachine.c:1556-1558).
+    """
+
+    def __init__(self, model: PoreModel, params=None, gap_x_log_probs=None):
+        super().__init__(params or SM3_NANOPORE_DEFAULTS)
+        self.model = model
+        self.gap_x_log_probs = (np.full(NUM_OF_KMERS, LOG_TENTH)
+                                if gap_x_log_probs is None else gap_x_log_probs)
+
+    def build(self, ref_seq: str, events: np.ndarray, W, dtype=jnp.float64):
+        l_x = kmers.seq_to_kmer_indices(ref_seq).shape[0]
+        kx = np.concatenate([[N_SENTINEL], kmers.seq_to_kmer_indices(ref_seq)])
+        mfeat = _signal_model_x_features(self.model.match_model, kx, W)
+        gfeat = _signal_model_x_features(self.model.gap_y_model, kx, W)
+        valid = kx <= NUM_OF_KMERS
+        gapx = np.where(valid, self.gap_x_log_probs[np.clip(kx, 0, NUM_OF_KMERS - 1)],
+                        LOG_ZERO)
+        gapx = jnp.asarray(pad_x_array(gapx, W, LOG_ZERO), dtype=dtype)
+
+        tp_l, tp_m, tp_u = self._tps(dtype)
+        feats = dict(
+            m=mfeat, g=gfeat, gapx=gapx,
+            ev_mean=jnp.asarray(pad_y_array(
+                np.concatenate([[0.0], events[:, 0]]), W, 0.0)),
+            ev_noise=jnp.asarray(pad_y_array(
+                np.concatenate([[0.0], events[:, 1]]), W, 0.0)),
+            tp_l=tp_l, tp_m=tp_m, tp_u=tp_u,
+        )
+
+        def weights_fn(f, d, base):
+            mean = slice_y(f["ev_mean"], d, base, W)
+            noise = slice_y(f["ev_noise"], d, base, W)
+
+            def gauss2(mf):
+                return (log_gauss_pdf(mean, slice_x(mf["lvl_mu"], base, W),
+                                      slice_x(mf["lvl_sd"], base, W))
+                        + log_gauss_pdf(noise, slice_x(mf["nz_mu"], base, W),
+                                        slice_x(mf["nz_sd"], base, W)))
+
+            e_match = gauss2(f["m"]).astype(dtype)
+            e_gap_y = gauss2(f["g"]).astype(dtype)
+            e_gap_x = slice_x(f["gapx"], base, W)
+            return {
+                "lower": tuple(e_gap_x + f["tp_l"][i] for i in range(3)),
+                "middle": tuple(e_match + f["tp_m"][i] for i in range(3)),
+                "upper": tuple(e_gap_y + f["tp_u"][i] for i in range(2)),
+            }
+
+        xi = jnp.asarray(pad_x_array(
+            np.minimum(kx, N_SENTINEL).astype(np.int32), W, N_SENTINEL))
+
+        return DpProblem(
+            S=3, match_state=MATCH, transitions=self.transitions,
+            feats=feats, weights_fn=weights_fn,
+            start=_vec(self.start_vec(), dtype), end=_vec(self.end_vec(), dtype),
+            ragged_start=_vec(self.ragged_start_vec(), dtype),
+            ragged_end=_vec(self.ragged_end_vec(), dtype),
+            W=W, x_elem_idx=xi,
+            expectation_spec=ExpectationSpec(kind="signal3",
+                                             n_emission_bins=NUM_OF_KMERS),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Input slicing for large-gap splitting
+# (sequence_slice* fns, impl/pairwiseAligner.c:287-317)
+# ---------------------------------------------------------------------------
+
+def _slice_dna(seq_x, seq_y, x1, x2, y1, y2):
+    return seq_x[x1:x2], seq_y[y1:y2]
+
+
+def _slice_signal(ref_seq, events, x1, x2, y1, y2):
+    # Kmer slices keep reading KMER_LENGTH-1 chars past the last element,
+    # exactly like the reference's pointer-repointing slice.
+    return ref_seq[x1:x2 + KMER_LENGTH - 1], events[y1:y2]
+
+
+StateMachine5.slice_inputs = staticmethod(_slice_dna)
+StateMachine3Nucleotide.slice_inputs = staticmethod(_slice_dna)
+StateMachine3SignalStrawman.slice_inputs = staticmethod(_slice_signal)
