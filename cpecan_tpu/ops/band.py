@@ -140,91 +140,102 @@ def full_band(l_x, l_y):
 
 
 @dataclass
-class TracebackSchedule:
-    """Per-diagonal control arrays encoding the reference's windowed
-    traceback (getPosteriorProbsWithBanding, impl/pairwiseAligner.c:955-1045).
+class BackwardPlan:
+    """Step-level plan for the backward pass.
 
-    All arrays have length nDiag+1 and are indexed by xay.
+    The reference's traceback windows *overlap*: window w runs its backward
+    recursion from its top diagonal (seeded with the end-state
+    initialisation, impl/pairwiseAligner.c:972) down to the previous
+    window's tracedBackFrom+1, but only emits posteriors for diagonals
+    <= its own tracedBackFrom; the diagonals above that (traceBackDiagonals+1
+    of them) are recomputed by the *next* window, whose recursion passes
+    through this window's top without any reset.  Each window is therefore an
+    independent seeded backward run, laid out here as contiguous descending
+    segments of one scan.
 
-    is_top[d]        — d is the top diagonal of a traceback window: after the
-                       backward scan emits diagonal d it resets its carry to
-                       the end-state initialisation (the reference initialises
-                       the backward matrix there, :972).
-    init_before[d]   — the backward value *emitted* for d is the end-state
-                       initialisation itself (true only at the final
-                       diagonal, where the reference extracts posteriors from
-                       the initialised diagonal).
-    refresh_total[d] — recompute the running total probability at d
-                       (every 10th posterior calculation per window, :1005).
-    emit[d]          — extract posteriors / accumulate expectations at d.
-    ragged_top[d]    — the end-state initialisation at this top uses
-                       raggedEndStateProb instead of endStateProb.
+    All arrays have length n_steps:
+      d[s]       — diagonal processed at step s
+      seed[s]    — step starts a window: backward value := end-state init
+                   (no recursion from the carry)
+      emit[s]    — extract posteriors / accumulate expectations
+      refresh[s] — recompute the running total probability (every 10th
+                   posterior calculation per window, :1005)
+      ragged[s]  — seed uses raggedEndStateProb
     """
 
-    is_top: np.ndarray
-    init_before: np.ndarray
-    refresh_total: np.ndarray
+    d: np.ndarray
+    seed: np.ndarray
     emit: np.ndarray
-    ragged_top: np.ndarray
+    refresh: np.ndarray
+    ragged: np.ndarray
+
+    @property
+    def n_steps(self):
+        return len(self.d)
 
 
-def traceback_schedule(band: BandGeometry, *, min_diags_between_traceback,
-                       traceback_diagonals, diagonal_expansion,
-                       ragged_right_end=False):
-    """Reproduce the traceback-window decisions of the banded driver.
-
-    The decisions depend only on band geometry and parameters, never on the
-    DP values, so they can be computed on the host up front.
-    """
+def _windows(band: BandGeometry, min_diags_between_traceback,
+             traceback_diagonals, diagonal_expansion):
+    """(traced_back_to, top, traced_back_from) per traceback window, in the
+    reference's chronological order (getPosteriorProbsWithBanding,
+    impl/pairwiseAligner.c:955-1045)."""
     n = band.n_diag
-    is_top = np.zeros(n + 1, dtype=bool)
-    init_before = np.zeros(n + 1, dtype=bool)
-    refresh = np.zeros(n + 1, dtype=bool)
-    emit = np.zeros(n + 1, dtype=bool)
-    ragged_top = np.zeros(n + 1, dtype=bool)
-
-    if n == 0:
-        return TracebackSchedule(is_top, init_before, refresh, emit, ragged_top)
-
+    wins = []
     traced_back_to = 0
     for d in range(1, n + 1):
         at_end = d == n
         tb_point = (d >= traced_back_to + min_diags_between_traceback
                     and band.width[d] <= diagonal_expansion * 2 + 1)
         if at_end or tb_point:
-            is_top[d] = True
-            if at_end:
-                init_before[d] = True
-                ragged_top[d] = ragged_right_end
             traced_back_from = d - (0 if at_end else traceback_diagonals + 1)
-            # Walk goes from d down to traced_back_to+1; posterior calcs
-            # happen for diagonals <= traced_back_from, counting from 0 and
-            # refreshing the total every 10 calcs (:1005).
-            count = 0
-            for d2 in range(d, traced_back_to, -1):
-                if d2 <= traced_back_from:
-                    emit[d2] = True
-                    if count % 10 == 0:
-                        refresh[d2] = True
-                    count += 1
+            wins.append((traced_back_to, d, traced_back_from))
             traced_back_to = traced_back_from
-    return TracebackSchedule(is_top, init_before, refresh, emit, ragged_top)
+    return wins
+
+
+def _plan_from_windows(wins, ragged_right_end, n_diag):
+    ds, seeds, emits, refreshes, raggeds = [], [], [], [], []
+    for traced_back_to, top, traced_back_from in wins:
+        at_end = top == n_diag
+        count = 0
+        for step, d in enumerate(range(top, traced_back_to, -1)):
+            ds.append(d)
+            seeds.append(step == 0)
+            raggeds.append(step == 0 and at_end and ragged_right_end)
+            if d <= traced_back_from:
+                emits.append(True)
+                refreshes.append(count % 10 == 0)
+                count += 1
+            else:
+                emits.append(False)
+                refreshes.append(False)
+    return BackwardPlan(
+        d=np.array(ds, dtype=np.int64), seed=np.array(seeds),
+        emit=np.array(emits), refresh=np.array(refreshes),
+        ragged=np.array(raggeds))
+
+
+def traceback_schedule(band: BandGeometry, *, min_diags_between_traceback,
+                       traceback_diagonals, diagonal_expansion,
+                       ragged_right_end=False):
+    """Build the step plan for the banded windowed driver.  The decisions
+    depend only on band geometry and parameters, never on DP values, so they
+    are computed on the host up front."""
+    if band.n_diag == 0:
+        return BackwardPlan(*(np.zeros(0, dtype=t) for t in
+                              (np.int64, bool, bool, bool, bool)))
+    wins = _windows(band, min_diags_between_traceback, traceback_diagonals,
+                    diagonal_expansion)
+    return _plan_from_windows(wins, ragged_right_end, band.n_diag)
 
 
 def unbanded_schedule(band: BandGeometry, ragged_right_end=False):
-    """Schedule matching getAlignedPairsWithoutBanding
-    (impl/pairwiseAligner.c:1561-1618): single global backward pass, one
-    total probability computed at the final diagonal, posteriors for every
-    diagonal."""
+    """Plan matching getAlignedPairsWithoutBanding
+    (impl/pairwiseAligner.c:1561-1618): one global backward run seeded at the
+    final diagonal, a single total probability, posteriors everywhere."""
     n = band.n_diag
-    is_top = np.zeros(n + 1, dtype=bool)
-    init_before = np.zeros(n + 1, dtype=bool)
-    refresh = np.zeros(n + 1, dtype=bool)
-    emit = np.ones(n + 1, dtype=bool)
-    emit[0] = False  # posterior loop runs i=1..nDiag; x>0,y>0 masks d=0 anyway
-    ragged_top = np.zeros(n + 1, dtype=bool)
-    is_top[n] = True
-    init_before[n] = True
-    refresh[n] = True
-    ragged_top[n] = ragged_right_end
-    return TracebackSchedule(is_top, init_before, refresh, emit, ragged_top)
+    plan = _plan_from_windows([(0, n, n)], ragged_right_end, n)
+    # One total, computed at the final diagonal only.
+    plan.refresh[:] = False
+    plan.refresh[0] = True
+    return plan

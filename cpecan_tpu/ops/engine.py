@@ -39,45 +39,56 @@ import numpy as np
 
 from ..constants import LOG_ZERO, PAIR_ALIGNMENT_PROB_1, SHORT_GAP_X
 from ..logmath import log_add, log_add_exact
-from .band import BandGeometry, TracebackSchedule
+from .band import BackwardPlan, BandGeometry
 
 DIRECTIONS = ("lower", "middle", "upper")
 
 
 @dataclass
 class Control:
-    """Per-diagonal device control arrays, [n_pad+1] each."""
+    """Device control arrays: per-diagonal band geometry for the forward
+    pass and a step plan for the (segmented) backward pass."""
 
-    d: jnp.ndarray        # diagonal index (== arange, but batched-friendly)
-    base: jnp.ndarray     # lowest in-band x-coordinate
-    width: jnp.ndarray    # number of in-band cells
-    is_top: jnp.ndarray
-    init_before: jnp.ndarray
-    refresh: jnp.ndarray
-    emit: jnp.ndarray
-    ragged_top: jnp.ndarray
-    n_diag: int           # real (unpadded) diagonal count — static
+    base: jnp.ndarray       # [n_pad+1] lowest in-band x-coordinate per diag
+    width: jnp.ndarray      # [n_pad+1] in-band cell count per diag
+    # backward step plan, [n_steps_pad] each (steps are descending runs of
+    # diagonals, one contiguous segment per traceback window)
+    step_d: jnp.ndarray
+    step_seed: jnp.ndarray
+    step_emit: jnp.ndarray
+    step_refresh: jnp.ndarray
+    step_ragged: jnp.ndarray
+    n_diag: int             # real diagonal count — static
 
 
-def make_control(band: BandGeometry, sched: TracebackSchedule, n_pad=None):
+def make_control(band: BandGeometry, plan: BackwardPlan, n_pad=None,
+                 n_steps_pad=None):
     n = band.n_diag
     n_pad = n if n_pad is None else n_pad
     assert n_pad >= n
+    n_steps = plan.n_steps
+    n_steps_pad = n_steps if n_steps_pad is None else n_steps_pad
+    assert n_steps_pad >= n_steps
 
-    def pad(a, fill):
+    def pad_diag(a, fill):
         out = np.full(n_pad + 1, fill, dtype=a.dtype)
         out[: n + 1] = a
         return jnp.asarray(out)
 
+    def pad_step(a, fill):
+        out = np.full(n_steps_pad, fill, dtype=a.dtype)
+        out[:n_steps] = a
+        return jnp.asarray(out)
+
     return Control(
-        d=jnp.arange(n_pad + 1, dtype=jnp.int32),
-        base=pad(band.x_lo.astype(np.int32), 0),
-        width=pad(band.width.astype(np.int32), 0),
-        is_top=pad(sched.is_top, False),
-        init_before=pad(sched.init_before, False),
-        refresh=pad(sched.refresh_total, False),
-        emit=pad(sched.emit, False),
-        ragged_top=pad(sched.ragged_top, False),
+        base=pad_diag(band.x_lo.astype(np.int32), 0),
+        width=pad_diag(band.width.astype(np.int32), 0),
+        # padding steps re-seed at diagonal 0 with nothing emitted
+        step_d=pad_step(plan.d.astype(np.int32), 0),
+        step_seed=pad_step(plan.seed, True),
+        step_emit=pad_step(plan.emit, False),
+        step_refresh=pad_step(plan.refresh, False),
+        step_ragged=pad_step(plan.ragged, False),
         n_diag=n,
     )
 
@@ -154,7 +165,8 @@ def forward_pass(problem, ctrl: Control, feats, *, ragged_left=False, strict=Tru
         return (acc, prev1, base, base1), acc
 
     zero_buf = jnp.full((W, S), LOG_ZERO, dtype)
-    xs = (ctrl.d[1:], ctrl.base[1:], ctrl.width[1:])
+    n_pad = ctrl.base.shape[0] - 1
+    xs = (jnp.arange(1, n_pad + 1, dtype=jnp.int32), ctrl.base[1:], ctrl.width[1:])
     carry0 = (init0, zero_buf, ctrl.base[0], jnp.zeros((), jnp.int32))
     _, out = jax.lax.scan(step, carry0, xs)
     return jnp.concatenate([init0[None], out], axis=0)
@@ -249,12 +261,18 @@ def _accumulate_expectations(problem, feats, acc, d, base, width,
 
 def backward_pass(problem, ctrl: Control, feats, all_fwd, *, strict=True,
                   compute_expectations=False):
-    """Backward recursion with windowed-traceback resets.
+    """Segmented backward recursion following the step plan.
+
+    Each traceback window is a contiguous descending segment; a seed step
+    replaces the recursion with the end-state initialisation (the window
+    top), and the carry across segment boundaries is cut off there.
 
     Returns dict with:
-      posteriors [n_pad+1, W] — match-state posterior per cell (0 outside
-                                emitted diagonals / invalid cells)
-      totals     [n_pad+1]    — in-scope total probability per diagonal
+      posteriors [n_steps, W] — match-state posterior per cell (0 outside
+                                emitted steps / invalid cells)
+      totals     [n_steps]    — in-scope total probability per step
+      step_d, step_base       — diagonal / band base per step (for pair
+                                extraction)
       expectations            — accumulator pytree (if requested)
     """
     W, S = problem.W, problem.S
@@ -262,26 +280,26 @@ def backward_pass(problem, ctrl: Control, feats, all_fwd, *, strict=True,
     logadd = log_add if strict else log_add_exact
     cell_dot = _cell_dot_strict if strict else _cell_dot_fast
     trans = problem.transitions
-    n_pad = ctrl.base.shape[0] - 1
 
     zero_buf = jnp.full((W, S), LOG_ZERO, dtype)
 
-    # xs, ordered d = n_pad .. 1
-    fwd_m1 = all_fwd[:-1]                                   # fwd[d-1] for d=1..n_pad
-    fwd_m2 = jnp.concatenate([zero_buf[None], all_fwd[:-2]])  # fwd[d-2]
-    base_m1 = ctrl.base[:-1]
-    base_m2 = jnp.concatenate([jnp.zeros((1,), ctrl.base.dtype), ctrl.base[:-2]])
-
-    def rev(a):
-        return jnp.flip(a, axis=0)
+    sd = ctrl.step_d
+    step_base = jnp.take(ctrl.base, sd)
+    step_width = jnp.take(ctrl.width, sd)
+    fwd_d = jnp.take(all_fwd, sd, axis=0)
+    fwd_dm1 = jnp.take(all_fwd, jnp.maximum(sd - 1, 0), axis=0)
+    fwd_dm1 = jnp.where((sd >= 1)[:, None, None], fwd_dm1, LOG_ZERO)
+    fwd_dm2 = jnp.take(all_fwd, jnp.maximum(sd - 2, 0), axis=0)
+    fwd_dm2 = jnp.where((sd >= 2)[:, None, None], fwd_dm2, LOG_ZERO)
+    base_dm1 = jnp.take(ctrl.base, jnp.maximum(sd - 1, 0))
+    base_dm2 = jnp.take(ctrl.base, jnp.maximum(sd - 2, 0))
 
     xs = dict(
-        d=rev(ctrl.d[1:]), base=rev(ctrl.base[1:]), width=rev(ctrl.width[1:]),
-        is_top=rev(ctrl.is_top[1:]), init_before=rev(ctrl.init_before[1:]),
-        refresh=rev(ctrl.refresh[1:]), emit=rev(ctrl.emit[1:]),
-        ragged_top=rev(ctrl.ragged_top[1:]),
-        fwd_d=rev(all_fwd[1:]), fwd_dm1=rev(fwd_m1), fwd_dm2=rev(fwd_m2),
-        base_dm1=rev(base_m1), base_dm2=rev(base_m2),
+        d=sd, base=step_base, width=step_width,
+        seed=ctrl.step_seed, emit=ctrl.step_emit, refresh=ctrl.step_refresh,
+        ragged=ctrl.step_ragged,
+        fwd_d=fwd_d, fwd_dm1=fwd_dm1, fwd_dm2=fwd_dm2,
+        base_dm1=base_dm1, base_dm2=base_dm2,
     )
 
     exp_acc0 = _expectation_init(problem, dtype) if compute_expectations else None
@@ -289,10 +307,16 @@ def backward_pass(problem, ctrl: Control, feats, all_fwd, *, strict=True,
     def step(carry, x):
         next1, next2, base_n1, base_n2, total, exp_acc = carry
         d, base, width = x["d"], x["base"], x["width"]
+        seed = x["seed"]
+
+        # Cut the carry at segment starts: a window's recursion never sees
+        # diagonals above its own top.
+        next1 = jnp.where(seed, zero_buf, next1)
+        next2 = jnp.where(seed, zero_buf, next2)
 
         # --- recursion: bwd[d] from bwd[d+1] (lower/upper) and bwd[d+2]
         # (middle), folded in the reference's arrival order: middle, upper,
-        # lower (see diagonalCalculationBackward walk, impl/pairwiseAligner.c:988-997)
+        # lower (diagonalCalculationBackward walk, impl/pairwiseAligner.c:988-997)
         w1 = problem.weights_fn(feats, d + 1, base_n1)
         w2 = problem.weights_fn(feats, d + 2, base_n2)
         acc = jnp.full((W, S), LOG_ZERO, dtype)
@@ -308,11 +332,12 @@ def backward_pass(problem, ctrl: Control, feats, all_fwd, *, strict=True,
         o = jnp.arange(W)
         acc = jnp.where((o < width)[:, None], acc, jnp.array(LOG_ZERO, dtype))
 
-        end_vec = jnp.where(x["ragged_top"], problem.ragged_end, problem.end)
+        end_vec = jnp.where(x["ragged"], problem.ragged_end, problem.end)
         init_d = _init_diag(end_vec, width, W, dtype)
-        bwd_d = jnp.where(x["init_before"], init_d, acc)
+        bwd_d = jnp.where(seed, init_d, acc)
 
-        # --- total probability refresh
+        # --- total probability refresh (bwd[d+1] = next1; LOG_ZERO at seeds,
+        # matching the reference's NULL check at window tops)
         new_total = _total_probability(
             problem, feats, logadd, cell_dot, d, base, base_n1,
             x["fwd_d"], x["fwd_dm1"], x["base_dm1"], bwd_d, next1)
@@ -333,11 +358,7 @@ def backward_pass(problem, ctrl: Control, feats, all_fwd, *, strict=True,
                 x["fwd_dm1"], x["fwd_dm2"], x["base_dm1"], x["base_dm2"],
                 bwd_d, total, x["emit"])
 
-        # --- carry update with window reset (is_top)
-        next1_new = jnp.where(x["is_top"], init_d, bwd_d)
-        next2_new = jnp.where(x["is_top"], zero_buf, next1)
-        base_n2_new = jnp.where(x["is_top"], base, base_n1)
-        carry = (next1_new, next2_new, base, base_n2_new, total, exp_acc)
+        carry = (bwd_d, next1, base, base_n1, total, exp_acc)
         return carry, (post, total)
 
     carry0 = (zero_buf, zero_buf, jnp.zeros((), ctrl.base.dtype),
@@ -345,31 +366,30 @@ def backward_pass(problem, ctrl: Control, feats, all_fwd, *, strict=True,
               exp_acc0)
     carry, (posts, totals) = jax.lax.scan(step, carry0, xs)
 
-    zeros_row = jnp.zeros((1, W), dtype)
     out = {
-        "posteriors": jnp.concatenate([zeros_row, jnp.flip(posts, axis=0)]),
-        "totals": jnp.concatenate([jnp.full((1,), LOG_ZERO, dtype),
-                                   jnp.flip(totals, axis=0)]),
+        "posteriors": posts,
+        "totals": totals,
+        "step_d": sd,
+        "step_base": step_base,
     }
     if compute_expectations:
         out["expectations"] = carry[5]
     return out
 
 
-def extract_aligned_pairs(posteriors, base, n_diag, threshold):
-    """Host-side conversion of the posterior matrix into (score, x-1, y-1)
-    pairs, matching impl/pairwiseAligner.c:806-813 (clamp to 1.0, floor of
-    p * PAIR_ALIGNMENT_PROB_1, 0-based sequence coordinates)."""
-    posteriors = np.asarray(posteriors)
-    base = np.asarray(base)
+def extract_aligned_pairs(out, threshold):
+    """Host-side conversion of the per-step posterior matrix into
+    (score, x-1, y-1) pairs, matching impl/pairwiseAligner.c:806-813
+    (clamp to 1.0, floor of p * PAIR_ALIGNMENT_PROB_1, 0-based coords)."""
+    posteriors = np.asarray(out["posteriors"])
+    step_d = np.asarray(out["step_d"])
+    step_base = np.asarray(out["step_base"])
     pairs = []
-    n = n_diag
-    W = posteriors.shape[1]
-    d_idx, o_idx = np.nonzero(posteriors[: n + 1] >= threshold)
-    for d, o in zip(d_idx, o_idx):
-        p = min(posteriors[d, o], 1.0)
-        x = int(base[d]) + int(o)
-        y = int(d) - x
+    s_idx, o_idx = np.nonzero(posteriors >= threshold)
+    for s, o in zip(s_idx, o_idx):
+        p = min(posteriors[s, o], 1.0)
+        x = int(step_base[s]) + int(o)
+        y = int(step_d[s]) - x
         score = int(np.floor(p * PAIR_ALIGNMENT_PROB_1))
         pairs.append((score, x - 1, y - 1))
     return pairs

@@ -58,20 +58,17 @@ def test_forward_equals_backward_total(run):
         cd = float(log_add(cd, fwd_final[slot, s] + end[s]))
     total_fwd = cd
 
-    # backward totals per diagonal from the engine
+    # backward totals per step from the engine (single total for unbanded)
     totals = np.asarray(out["totals"])
-    assert abs(totals[n] - total_fwd) < 1e-3
-    # per-diagonal total equality is implicit in the single-total design,
-    # but verify against an independently recomputed diagonal dot
-    bwd0_total = totals[1]
-    assert abs(bwd0_total - total_fwd) < 1e-2
+    assert abs(totals[0] - total_fwd) < 1e-3
+    assert abs(totals[-1] - total_fwd) < 1e-2
 
 
 def test_exact_pair_set(run):
     sm, problem, band, ctrl, all_fwd, out = run
     params = AlignmentParams(threshold=0.2)
     from cpecan_tpu.ops.engine import extract_aligned_pairs
-    pairs = extract_aligned_pairs(out["posteriors"], band.x_lo, band.n_diag, 0.2)
+    pairs = extract_aligned_pairs(out, 0.2)
     got = {(x, y) for _, x, y in pairs}
     assert got == {(0, 0), (1, 1), (2, 4), (3, 5)}
     assert len(pairs) == 4

@@ -41,3 +41,36 @@ def test_strawman_unbanded_golden_986(zymo_reference_seq, zymo_npread,
         AlignmentParams())
     _check_aligned_pairs(pairs, l_x, l_y)
     assert len(pairs) == 986
+
+
+@pytest.mark.slow
+def test_strawman_banded_golden_987(zymo_reference_seq, zymo_npread,
+                                    template_model):
+    """Banded run with lastz anchors remapped through the template event map
+    (tests/signalPairwiseTest.c:1112-1160): exactly 987 aligned pairs."""
+    from cpecan_tpu.align import get_aligned_pairs_using_anchors
+    from cpecan_tpu.io.npread import remap_anchor_pairs
+    from cpecan_tpu.ops.anchors import filter_to_remove_overlap
+    from cpecan_tpu.ops.blast import (
+        find_lastz, get_blast_pairs_for_pairwise_alignment_parameters)
+
+    if find_lastz() is None:
+        pytest.skip("cPecanLastz binary not available")
+
+    params = AlignmentParams()
+    anchors = get_blast_pairs_for_pairwise_alignment_parameters(
+        zymo_reference_seq, zymo_npread.twod_read, params)
+    remapped = remap_anchor_pairs(anchors, zymo_npread.template_event_map)
+    filtered = filter_to_remove_overlap(remapped)
+
+    l_x = len(zymo_reference_seq) - (KMER_LENGTH - 1)
+    l_y = zymo_npread.n_template_events
+    tp = zymo_npread.template_params
+    model = scale_model(template_model, tp.scale, tp.shift, tp.var,
+                        tp.scale_sd, tp.var_sd)
+    sm = StateMachine3SignalStrawman(model)
+    pairs = get_aligned_pairs_using_anchors(
+        sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y,
+        filtered, params)
+    _check_aligned_pairs(pairs, l_x, l_y)
+    assert len(pairs) == 987
