@@ -78,7 +78,8 @@ def get_aligned_pairs_without_banding(sm, x_input, y_input, l_x, l_y,
     out = _run_one(sm, x_input, y_input, l_x, l_y, [], params, banded=False,
                    ragged_left=ragged_left, ragged_right=ragged_right,
                    strict=strict, dtype=dtype, compute_expectations=False)
-    return extract_aligned_pairs(out, params.threshold)
+    return extract_aligned_pairs(out, params.threshold,
+                                 multi=bool(out["problem"].multi_match_states))
 
 
 def get_aligned_pairs_using_anchors(sm, x_input, y_input, l_x, l_y,
@@ -110,7 +111,8 @@ def get_aligned_pairs_using_anchors(sm, x_input, y_input, l_x, l_y,
                        ragged_left=(ragged_left or i > 0),
                        ragged_right=(ragged_right or i < n_regions - 1),
                        strict=strict, dtype=dtype, compute_expectations=False)
-        sub_pairs = extract_aligned_pairs(out, params.threshold)
+        sub_pairs = extract_aligned_pairs(
+            out, params.threshold, multi=bool(out["problem"].multi_match_states))
         pairs.extend((s, x + x1, y + y1) for s, x, y in sub_pairs)
     assert j == len(anchor_pairs)
     return pairs

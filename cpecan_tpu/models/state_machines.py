@@ -484,3 +484,441 @@ def _slice_signal(ref_seq, events, x1, x2, y1, y2):
 StateMachine5.slice_inputs = staticmethod(_slice_dna)
 StateMachine3Nucleotide.slice_inputs = staticmethod(_slice_dna)
 StateMachine3SignalStrawman.slice_inputs = staticmethod(_slice_signal)
+
+
+# ---------------------------------------------------------------------------
+# 4-state signal machine (fourState, impl/stateMachine.c:961-1040)
+# ---------------------------------------------------------------------------
+
+# Template-read transition defaults (impl/stateMachine.c:996-1012).
+SM4_DEFAULTS = dict(
+    match_continue=-0.23552123624314988,
+    gap_short_open_x=-1.6269694202638481,
+    gap_short_open_y=-4.7241893208381773,
+    gap_long_open_x=-5.4173365013981227,
+    gap_short_extend_x=-1.6269694202638481,
+    match_from_short_gap_x=-0.21880828092192281,
+    gap_long_extend_x=-0.003442492794189331,
+    match_from_long_gap_x=-5.6732801731704612,
+    match_from_short_gap_y=-0.013406326748077823,
+    gap_short_extend_y=-4.724189320832104,
+    gap_long_switch_to_x=-5.4173365013920494,
+)
+
+
+class StateMachine4:
+    """4-state signal HMM: match, shortGapX (skip), shortGapY (extra event),
+    longGapX.  Emissions identical to the strawman machine
+    (getStateMachine4, impl/stateMachine.c:1800-1809)."""
+
+    S = 4
+    match_state = MATCH
+    # impl/stateMachine.c:868-898
+    transitions = {
+        "lower": ((MATCH, SHORT_GAP_X), (SHORT_GAP_X, SHORT_GAP_X),
+                  (MATCH, LONG_GAP_X), (LONG_GAP_X, LONG_GAP_X),
+                  (SHORT_GAP_Y, LONG_GAP_X)),
+        "middle": ((MATCH, MATCH), (SHORT_GAP_X, MATCH), (SHORT_GAP_Y, MATCH),
+                   (LONG_GAP_X, MATCH)),
+        "upper": ((MATCH, SHORT_GAP_Y), (SHORT_GAP_Y, SHORT_GAP_Y)),
+    }
+    slice_inputs = staticmethod(_slice_signal)
+
+    def __init__(self, model: PoreModel, params=None, gap_x_log_probs=None):
+        self.p = dict(params or SM4_DEFAULTS)
+        self.model = model
+        # stateMachine4_construct leaves EMISSION_GAP_X_PROBS at the zeros
+        # from emissions_signal_initEmissionsToZero (impl/stateMachine.c:1037)
+        # — unlike SM3, which fills log(0.1) (:1556-1558).
+        self.gap_x_log_probs = (np.zeros(NUM_OF_KMERS)
+                                if gap_x_log_probs is None else gap_x_log_probs)
+
+    def start_vec(self):
+        return [0.0, LOG_ZERO, LOG_ZERO, LOG_ZERO]
+
+    def ragged_start_vec(self):
+        # stateMachine4_raggedStartStateProb (impl/stateMachine.c:792-795)
+        return [LOG_ZERO, LOG_ZERO, 0.0, 0.0]
+
+    def end_vec(self):
+        p = self.p
+        return [p["match_continue"], p["match_from_short_gap_x"],
+                p["match_from_short_gap_y"], p["match_from_long_gap_x"]]
+
+    def ragged_end_vec(self):
+        p = self.p
+        return [p["gap_long_open_x"], p["gap_long_open_x"],
+                p["gap_long_open_x"], p["gap_long_extend_x"]]
+
+    def build(self, ref_seq, events, W, dtype=jnp.float64):
+        p = self.p
+        kx = np.concatenate([[N_SENTINEL], kmers.seq_to_kmer_indices(ref_seq)])
+        mfeat = _signal_model_x_features(self.model.match_model, kx, W)
+        gfeat = _signal_model_x_features(self.model.gap_y_model, kx, W)
+        valid = kx <= NUM_OF_KMERS
+        gapx = np.where(valid, self.gap_x_log_probs[np.clip(kx, 0, NUM_OF_KMERS - 1)],
+                        LOG_ZERO)
+        feats = dict(
+            m=mfeat, g=gfeat,
+            gapx=jnp.asarray(pad_x_array(gapx, W, LOG_ZERO), dtype=dtype),
+            ev_mean=jnp.asarray(pad_y_array(
+                np.concatenate([[0.0], events[:, 0]]), W, 0.0)),
+            ev_noise=jnp.asarray(pad_y_array(
+                np.concatenate([[0.0], events[:, 1]]), W, 0.0)),
+            tp_l=_vec([p["gap_short_open_x"], p["gap_short_extend_x"],
+                       p["gap_long_open_x"], p["gap_long_extend_x"],
+                       p["gap_long_switch_to_x"]], dtype),
+            tp_m=_vec([p["match_continue"], p["match_from_short_gap_x"],
+                       p["match_from_short_gap_y"], p["match_from_long_gap_x"]], dtype),
+            tp_u=_vec([p["gap_short_open_y"], p["gap_short_extend_y"]], dtype),
+        )
+
+        def weights_fn(f, d, base):
+            mean = slice_y(f["ev_mean"], d, base, W)
+            noise = slice_y(f["ev_noise"], d, base, W)
+
+            def gauss2(mf):
+                return (log_gauss_pdf(mean, slice_x(mf["lvl_mu"], base, W),
+                                      slice_x(mf["lvl_sd"], base, W))
+                        + log_gauss_pdf(noise, slice_x(mf["nz_mu"], base, W),
+                                        slice_x(mf["nz_sd"], base, W)))
+
+            e_match = gauss2(f["m"]).astype(dtype)
+            e_gap_y = gauss2(f["g"]).astype(dtype)
+            e_gap_x = slice_x(f["gapx"], base, W)
+            return {
+                "lower": tuple(e_gap_x + f["tp_l"][i] for i in range(5)),
+                "middle": tuple(e_match + f["tp_m"][i] for i in range(4)),
+                "upper": tuple(e_gap_y + f["tp_u"][i] for i in range(2)),
+            }
+
+        return DpProblem(
+            S=4, match_state=MATCH, transitions=self.transitions,
+            feats=feats, weights_fn=weights_fn,
+            start=_vec(self.start_vec(), dtype), end=_vec(self.end_vec(), dtype),
+            ragged_start=_vec(self.ragged_start_vec(), dtype),
+            ragged_end=_vec(self.ragged_end_vec(), dtype),
+            W=W,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Vanilla (nanopolish-style) 3-state machine
+# (stateMachine3Vanilla, impl/stateMachine.c:1368-1409, 1610-1650)
+# ---------------------------------------------------------------------------
+
+def _getkmer2_positions(l_x):
+    """sequence_getKmer2 pointer positions per column x
+    (impl/pairwiseAligner.c:336-341): index x-1 maps to element x-2 for
+    x >= 2, else element 0."""
+    x = np.arange(l_x + 1)
+    return np.where(x - 1 > 0, x - 2, 0)
+
+
+def _kmer_idx_at(ref_seq, positions):
+    all_idx = kmers.seq_to_kmer_indices(ref_seq, length=len(ref_seq))
+    return all_idx[np.clip(positions, 0, len(ref_seq) - 1)]
+
+
+class StateMachine3Vanilla:
+    """Reimplementation of the Nanopolish HMM: per-cell transitions from
+    kmer-dependent skip probabilities alpha/beta in 30 |delta-level-mean|
+    bins (impl/stateMachine.c:1368-1409)."""
+
+    S = 3
+    match_state = MATCH
+    transitions = {
+        "lower": ((MATCH, SHORT_GAP_X), (SHORT_GAP_X, SHORT_GAP_X)),
+        "middle": ((MATCH, MATCH), (SHORT_GAP_X, MATCH), (SHORT_GAP_Y, MATCH)),
+        "upper": ((MATCH, SHORT_GAP_Y), (SHORT_GAP_Y, SHORT_GAP_Y)),
+    }
+    slice_inputs = staticmethod(_slice_signal)
+
+    def __init__(self, model: PoreModel, strand="template", skip_bin_probs=None):
+        self.model = model
+        # impl/stateMachine.c:1292-1304, 1625-1629
+        if strand == "template":
+            self.t_m_to_y_not_x = 0.17
+            self.t_e_to_e = 0.55
+        else:
+            self.t_m_to_y_not_x = 0.14
+            self.t_e_to_e = 0.49
+        # 60-entry table: [0:30] beta, [30:60] alpha; loaded from the pore
+        # model's line 2 by default (emissions_signal_loadPoreModel :283-295)
+        if skip_bin_probs is None:
+            skip_bin_probs = np.concatenate([model.skip_bins, model.skip_bins])
+        self.skip_bin_probs = skip_bin_probs
+        self.default_end_match_prob = -0.23552123624314988
+        self.default_end_from_x_prob = -1.6269694202638481
+        self.default_end_from_y_prob = -4.3187242127300092
+
+    def start_vec(self):
+        return [0.0, LOG_ZERO, LOG_ZERO]
+
+    def ragged_start_vec(self):
+        return [LOG_ZERO, 0.0, 0.0]
+
+    def end_vec(self):
+        return [self.default_end_match_prob, self.default_end_from_x_prob,
+                self.default_end_from_y_prob]
+
+    def ragged_end_vec(self):
+        # impl/stateMachine.c:1210-1222
+        return [(self.default_end_from_x_prob + self.default_end_from_y_prob) / 2.0,
+                self.default_end_from_x_prob, self.default_end_from_y_prob]
+
+    def x_skip_bins(self, ref_seq):
+        """Per-column skip bin: |level_mean(kmer at p+1) - level_mean(kmer at
+        p)| binned, where p is the getKmer2 position for column x."""
+        from ..io.poremodel import kmer_skip_bin_table
+        l_x = max(len(ref_seq) - (KMER_LENGTH - 1), 0)
+        pos = _getkmer2_positions(l_x)
+        k_prev = _kmer_idx_at(ref_seq, pos)
+        k_next = _kmer_idx_at(ref_seq, pos + 1)
+        return kmer_skip_bin_table(self.model.match_model, k_prev, k_next)
+
+    def build(self, ref_seq, events, W, dtype=jnp.float64):
+        l_x = max(len(ref_seq) - (KMER_LENGTH - 1), 0)
+        bins = self.x_skip_bins(ref_seq)
+        beta = self.skip_bin_probs[bins]            # a_mx per column
+        alpha = self.skip_bin_probs[bins + 30]      # a_xx per column
+        a_mx = beta
+        a_my = (1.0 - a_mx) * self.t_m_to_y_not_x
+        a_mm = 1.0 - a_my - a_mx
+        a_yy = self.t_e_to_e
+        a_ym = 1.0 - a_yy
+        a_xx = alpha
+        a_xm = 1.0 - a_xx
+
+        def logs(a):
+            with np.errstate(divide="ignore"):
+                return np.log(a)
+
+        # match kmer for emissions: getKmer2 pointer + 1 char offset
+        # (emissions_signal_getEventMatchProbWithTwoDists, impl/stateMachine.c:500-506)
+        pos = _getkmer2_positions(l_x)
+        kx = _kmer_idx_at(ref_seq, pos + 1)
+        mfeat = _twodists_x_features(self.model.match_model, kx, W)
+        gfeat = _twodists_x_features(self.model.gap_y_model, kx, W)
+
+        feats = dict(
+            m=mfeat, g=gfeat,
+            la_mx=jnp.asarray(pad_x_array(logs(a_mx), W, LOG_ZERO), dtype=dtype),
+            la_xx=jnp.asarray(pad_x_array(logs(a_xx), W, LOG_ZERO), dtype=dtype),
+            la_mm=jnp.asarray(pad_x_array(logs(a_mm), W, LOG_ZERO), dtype=dtype),
+            la_xm=jnp.asarray(pad_x_array(logs(a_xm), W, LOG_ZERO), dtype=dtype),
+            la_my=jnp.asarray(pad_x_array(logs(a_my), W, LOG_ZERO), dtype=dtype),
+            ev_mean=jnp.asarray(pad_y_array(
+                np.concatenate([[0.0], events[:, 0]]), W, 0.0)),
+            ev_noise=jnp.asarray(pad_y_array(
+                np.concatenate([[0.0], events[:, 1]]), W, 0.0)),
+            la_ym=jnp.asarray(np.log(a_ym), dtype=dtype),
+            la_yy=jnp.asarray(np.log(a_yy), dtype=dtype),
+        )
+
+        def weights_fn(f, d, base):
+            mean = slice_y(f["ev_mean"], d, base, W)
+            noise = slice_y(f["ev_noise"], d, base, W)
+            e_match = _twodists_eval(f["m"], base, W, mean, noise).astype(dtype)
+            e_gap_y = _twodists_eval(f["g"], base, W, mean, noise).astype(dtype)
+            return {
+                "lower": (slice_x(f["la_mx"], base, W),
+                          slice_x(f["la_xx"], base, W)),
+                "middle": (e_match + slice_x(f["la_mm"], base, W),
+                           e_match + slice_x(f["la_xm"], base, W),
+                           e_match + f["la_ym"]),
+                "upper": (e_gap_y + slice_x(f["la_my"], base, W),
+                          e_gap_y + f["la_yy"]),
+            }
+
+        xi = jnp.asarray(pad_x_array(bins.astype(np.int32), W, 0))
+
+        return DpProblem(
+            S=3, match_state=MATCH, transitions=self.transitions,
+            feats=feats, weights_fn=weights_fn,
+            start=_vec(self.start_vec(), dtype), end=_vec(self.end_vec(), dtype),
+            ragged_start=_vec(self.ragged_start_vec(), dtype),
+            ragged_end=_vec(self.ragged_end_vec(), dtype),
+            W=W, x_elem_idx=xi,
+            expectation_spec=ExpectationSpec(kind="vanilla"),
+        )
+
+
+def _twodists_x_features(model_rows, kx, W):
+    """Per-x params for getEventMatchProbWithTwoDists: Gaussian level +
+    inverse-Gaussian noise (impl/stateMachine.c:500-529)."""
+    valid = kx <= NUM_OF_KMERS
+    safe = np.clip(kx, 0, NUM_OF_KMERS - 1)
+    feats = {}
+    for name, col in (("lvl_mu", LEVEL_MEAN), ("lvl_sd", LEVEL_SD),
+                      ("nz_mu", NOISE_MEAN), ("nz_lambda", NOISE_LAMBDA)):
+        v = np.where(valid, model_rows[safe, col], 0.0)
+        feats[name] = jnp.asarray(pad_x_array(v, W, 0.0))
+    return feats
+
+
+def _twodists_eval(f, base, W, mean, noise):
+    from .emissions import log_inv_gauss_pdf
+    level = log_gauss_pdf(mean, slice_x(f["lvl_mu"], base, W),
+                          slice_x(f["lvl_sd"], base, W))
+    nz = log_inv_gauss_pdf(noise, slice_x(f["nz_mu"], base, W),
+                           slice_x(f["nz_lambda"], base, W))
+    return level + nz
+
+
+# ---------------------------------------------------------------------------
+# Echelon 7-state machine (multi-kmer-per-event)
+# (stateMachineEchelon, impl/stateMachine.c:1411-1459, 1652-1692)
+# ---------------------------------------------------------------------------
+
+from ..constants import MATCH0, MATCH1, MATCH2, MATCH3, MATCH4, MATCH5, GAP_X
+from ..logmath import log_add as _strict_log_add
+
+
+def _echelon_transitions():
+    lower = tuple((n, GAP_X) for n in range(1, 6)) + ((GAP_X, GAP_X),)
+    middle = tuple((frm, n) for n in range(1, 6) for frm in range(6)) \
+        + tuple((GAP_X, n) for n in range(1, 6))
+    upper = tuple((n, MATCH0) for n in range(1, 6))
+    return {"lower": lower, "middle": middle, "upper": upper}
+
+
+class StateMachineEchelon:
+    """7-state multi-kmer-per-event HMM: states match0..match5 + gapX.  An
+    event can emit 1..5 kmers (Poisson duration model); match0 is the
+    extra-event state (getStateMachineEchelon, impl/stateMachine.c:1823-1833).
+    """
+
+    S = 7
+    match_state = MATCH1
+    transitions = _echelon_transitions()
+
+    def __init__(self, model: PoreModel, skip_bin_probs=None):
+        self.model = model
+        # pore-model line 2 loaded into bins [0:30]+[30:60]
+        # (emissions_signal_loadPoreModel :283-295); getKmerSkipProb reads
+        # only [bin] (impl/stateMachine.c:430-472)
+        if skip_bin_probs is None:
+            skip_bin_probs = np.concatenate([model.skip_bins, model.skip_bins])
+        self.skip_bin_probs = skip_bin_probs
+        # NOTE: the reference stores these end probs in *probability* space,
+        # flagged "todo these aren't log and won't work"
+        # (impl/stateMachine.c:1667-1669); we replicate them verbatim.
+        self.default_end_match_prob = 0.79015888282447311
+        self.default_end_from_x_prob = 0.19652425498269727
+
+    def start_vec(self):
+        v = [LOG_ZERO] * 7
+        v[MATCH1] = 0.0
+        return v
+
+    def ragged_start_vec(self):
+        v = [LOG_ZERO] * 7
+        v[GAP_X] = 0.0
+        return v
+
+    def end_vec(self):
+        return [self.default_end_match_prob] * 6 + [self.default_end_from_x_prob]
+
+    ragged_end_vec = end_vec
+
+    @staticmethod
+    def slice_inputs(ref_seq, events, x1, x2, y1, y2):
+        # echelon kmer reads can run far past the slice into the original
+        # buffer (multi-kmer fan + n-padding); keep the full tail.
+        return ref_seq[x1:], events[y1:y2]
+
+    def build(self, ref_seq, events, W, dtype=jnp.float64):
+        l_x = max(len(ref_seq) - (KMER_LENGTH - 1), 0)
+        refp = ref_seq + "n" * 30  # sequence_padSequence (impl/pairwiseAligner.c:282-285)
+        from ..io.poremodel import kmer_skip_bin_table
+        pos = _getkmer2_positions(l_x)
+        k_prev = _kmer_idx_at(refp, pos)
+        k_next = _kmer_idx_at(refp, pos + 1)
+        bins = kmer_skip_bin_table(self.model.match_model, k_prev, k_next)
+        a_mx = self.skip_bin_probs[bins]
+        with np.errstate(divide="ignore"):
+            la_mx = np.log(a_mx)
+            la_mh = np.log(1.0 - a_mx)
+
+        # multi-kmer term params: kmer at position p(x)+1+i for i = 0..4
+        m_feats = []
+        for i in range(5):
+            ki = _kmer_idx_at(refp, pos + 1 + i)
+            m_feats.append(_twodists_x_features(self.model.match_model, ki, W))
+        g_feat = _twodists_x_features(self.model.gap_y_model,
+                                      _kmer_idx_at(refp, pos + 1), W)
+
+        # multi-kmer validity: lastBase = chars[p + 6n] must be uppercase
+        # (emissions_signal_multipleKmerMatchProb, impl/stateMachine.c:531-550)
+        valid_n = {}
+        chars = np.frombuffer(refp.encode(), dtype=np.uint8)
+        for n in range(1, 6):
+            idx = np.clip(pos + 6 * n, 0, len(chars) - 1)
+            ok = (pos + 6 * n < len(chars)) & (chars[idx] >= 65) & (chars[idx] <= 90)
+            valid_n[n] = ok
+
+        # durations: poisson posterior per event, n = 0..5
+        # (emissions_signal_getDurationProb, impl/stateMachine.c:552-555)
+        dur = np.concatenate([[0.0], events[:, 2]])
+        durs = {}
+        for n in range(6):
+            c = 0.00332005312085
+            l_beta = 0.1397619423751586
+            l_f = (0.0, 0.0, 0.69314718056, 1.79175946923, 3.17805383035, 4.78749174278)
+            lam = dur / c
+            with np.errstate(divide="ignore"):
+                b = np.where(lam > 0.0, n * np.log(np.where(lam > 0, lam, 1.0)),
+                             0.0 if n == 0 else LOG_ZERO)
+            durs[n] = (n + 1) * l_beta + b - l_f[n] - 2.0 * lam
+
+        feats = dict(
+            la_mx=jnp.asarray(pad_x_array(la_mx, W, LOG_ZERO), dtype=dtype),
+            la_mh=jnp.asarray(pad_x_array(la_mh, W, LOG_ZERO), dtype=dtype),
+            m=m_feats, g=g_feat,
+            valid={n: jnp.asarray(pad_x_array(valid_n[n].astype(np.float64), W, 0.0))
+                   for n in range(1, 6)},
+            dur={n: jnp.asarray(pad_y_array(durs[n], W, LOG_ZERO), dtype=dtype)
+                 for n in range(6)},
+            ev_mean=jnp.asarray(pad_y_array(
+                np.concatenate([[0.0], events[:, 0]]), W, 0.0)),
+            ev_noise=jnp.asarray(pad_y_array(
+                np.concatenate([[0.0], events[:, 1]]), W, 0.0)),
+        )
+
+        def weights_fn(f, d, base):
+            mean = slice_y(f["ev_mean"], d, base, W)
+            noise = slice_y(f["ev_noise"], d, base, W)
+            terms = [_twodists_eval(f["m"][i], base, W, mean, noise)
+                     for i in range(5)]
+            la_mx_s = slice_x(f["la_mx"], base, W)
+            la_mh_s = slice_x(f["la_mh"], base, W)
+            dur_s = {n: slice_y(f["dur"][n], d, base, W) for n in range(6)}
+
+            # multipleKmerMatchProb folds from 0.0 (NOT LOG_ZERO) — a
+            # reference quirk preserved bit-for-bit
+            # (impl/stateMachine.c:533 `double p = 0.0`).
+            e_n = {}
+            acc = jnp.zeros((W,), dtype)
+            for n in range(1, 6):
+                acc = _strict_log_add(acc, terms[n - 1])
+                val = slice_x(f["valid"][n], base, W)
+                e_n[n] = jnp.where(val > 0.5, acc - np.log(n),
+                                   jnp.array(LOG_ZERO, dtype))
+            e_scaled = _twodists_eval(f["g"], base, W, mean, noise).astype(dtype)
+
+            lower = tuple(la_mx_s for _ in range(6))
+            middle = tuple(e_n[n] + la_mh_s + dur_s[n]
+                           for n in range(1, 6) for _ in range(6)) \
+                + tuple(e_n[n] + la_mh_s + dur_s[n] for n in range(1, 6))
+            upper = tuple(e_scaled + la_mh_s + dur_s[0] for _ in range(5))
+            return {"lower": lower, "middle": middle, "upper": upper}
+
+        return DpProblem(
+            S=7, match_state=MATCH1, transitions=self.transitions,
+            feats=feats, weights_fn=weights_fn,
+            start=_vec(self.start_vec(), dtype), end=_vec(self.end_vec(), dtype),
+            ragged_start=_vec(self.ragged_start_vec(), dtype),
+            ragged_end=_vec(self.ragged_end_vec(), dtype),
+            W=W, multi_match_states=5,
+        )

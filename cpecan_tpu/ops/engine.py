@@ -196,6 +196,11 @@ def _expectation_init(problem, dtype):
     if spec is None:
         return None
     S = problem.S
+    if spec.kind == "vanilla":
+        # cell_signal_updateBetaAndAlphaProb (impl/pairwiseAligner.c:493-513):
+        # only the 60 skip-bin counters are accumulated.
+        return {"skip_bins": jnp.zeros((60,), dtype),
+                "likelihood": jnp.zeros((), dtype)}
     acc = {"trans": jnp.zeros((S, S), dtype), "likelihood": jnp.zeros((), dtype)}
     if spec.kind == "discrete":
         K = spec.symbol_set_size
@@ -233,6 +238,21 @@ def _accumulate_expectations(problem, feats, acc, d, base, width,
     if problem.y_elem_idx is not None:
         from ..models.state_machines import slice_y
         y_idx = slice_y(problem.y_elem_idx, d, base, W)
+
+    if spec.kind == "vanilla":
+        # beta: match->shortGapX; alpha: shortGapX->shortGapX, both indexed
+        # by the cell's skip bin (x_elem_idx holds the per-column bin).
+        for dirn in DIRECTIONS:
+            for (frm, to), wt in zip(problem.transitions[dirn], w[dirn]):
+                if to != SHORT_GAP_X or frm not in (0, SHORT_GAP_X):
+                    continue
+                logp = src[dirn][:, frm] + wt + bwd_d[:, to] - total
+                p = jnp.exp(logp) * cell_ok
+                p = jnp.where(jnp.isfinite(logp), p, 0.0)
+                off = 0 if frm == 0 else 30
+                acc["skip_bins"] = acc["skip_bins"].at[x_idx + off].add(p)
+        acc["likelihood"] = acc["likelihood"] + jnp.where(emit, total, 0.0)
+        return acc
 
     trans_acc = acc["trans"]
     p_by_to = jnp.zeros((W, S), dtype)
@@ -344,13 +364,16 @@ def backward_pass(problem, ctrl: Control, feats, all_fwd, *, strict=True,
         total = jnp.where(x["refresh"], new_total, total)
 
         # --- posterior extraction (diagonalCalculationPosteriorMatchProbs,
-        # impl/pairwiseAligner.c:783-822)
+        # impl/pairwiseAligner.c:783-822; multi-state variant :824-866)
         xcoord = base + o
         ycoord = d - xcoord
         valid = (o < width) & (xcoord > 0) & (ycoord > 0) & x["emit"]
-        logpost = (x["fwd_d"][:, problem.match_state]
-                   + bwd_d[:, problem.match_state] - total)
-        post = jnp.where(valid & jnp.isfinite(logpost), jnp.exp(logpost), 0.0)
+        ms = problem.match_state
+        n_post = problem.multi_match_states or 1
+        logpost = (x["fwd_d"][:, ms:ms + n_post]
+                   + bwd_d[:, ms:ms + n_post] - total)
+        post = jnp.where(valid[:, None] & jnp.isfinite(logpost),
+                         jnp.exp(logpost), 0.0)
 
         if exp_acc is not None:
             exp_acc = _accumulate_expectations(
@@ -377,19 +400,27 @@ def backward_pass(problem, ctrl: Control, feats, all_fwd, *, strict=True,
     return out
 
 
-def extract_aligned_pairs(out, threshold):
-    """Host-side conversion of the per-step posterior matrix into
+def extract_aligned_pairs(out, threshold, multi=False):
+    """Host-side conversion of the per-step posterior tensor into
     (score, x-1, y-1) pairs, matching impl/pairwiseAligner.c:806-813
-    (clamp to 1.0, floor of p * PAIR_ALIGNMENT_PROB_1, 0-based coords)."""
+    (clamp to 1.0, floor of p * PAIR_ALIGNMENT_PROB_1, 0-based coords).
+
+    With ``multi`` (echelon), state match-k contributes k pairs
+    (x+n-1, y-1) for n < k (diagonalCalculationMultiPosteriorMatchProbs,
+    impl/pairwiseAligner.c:845-856)."""
     posteriors = np.asarray(out["posteriors"])
     step_d = np.asarray(out["step_d"])
     step_base = np.asarray(out["step_base"])
     pairs = []
-    s_idx, o_idx = np.nonzero(posteriors >= threshold)
-    for s, o in zip(s_idx, o_idx):
-        p = min(posteriors[s, o], 1.0)
+    s_idx, o_idx, k_idx = np.nonzero(posteriors >= threshold)
+    for s, o, k in zip(s_idx, o_idx, k_idx):
+        p = min(posteriors[s, o, k], 1.0)
         x = int(step_base[s]) + int(o)
         y = int(step_d[s]) - x
         score = int(np.floor(p * PAIR_ALIGNMENT_PROB_1))
-        pairs.append((score, x - 1, y - 1))
+        if multi:
+            for n in range(k + 1):
+                pairs.append((score, x + n - 1, y - 1))
+        else:
+            pairs.append((score, x - 1, y - 1))
     return pairs

@@ -74,3 +74,136 @@ def test_strawman_banded_golden_987(zymo_reference_seq, zymo_npread,
         filtered, params)
     _check_aligned_pairs(pairs, l_x, l_y)
     assert len(pairs) == 987
+
+
+SMALL_SX = "ACGATACGGACAT"
+SMALL_SY = np.array([
+    [58.743435, 0.887833, 0.0571],
+    [53.604965, 0.816836, 0.0571],
+    [58.432015, 0.735143, 0.0571],
+    [63.684352, 0.795437, 0.0571],
+    [58.921430, 0.812959, 0.0571],
+    [59.895882, 0.740952, 0.0571],
+    [61.684303, 0.722332, 0.0571],
+])
+
+
+def test_strawman_small_fixture_pair_set(template_model):
+    """test_strawMan_diagonalDPCalculations (tests/signalPairwiseTest.c:580-684):
+    8 pairs within the expected set (unscaled model, threshold 0.2)."""
+    sm = StateMachine3SignalStrawman(template_model)
+    l_x = len(SMALL_SX) - (KMER_LENGTH - 1)
+    pairs = get_aligned_pairs_without_banding(
+        sm, SMALL_SX, SMALL_SY, l_x, 7, AlignmentParams(threshold=0.2))
+    got = {(x, y) for _, x, y in pairs}
+    expected = {(0, 0), (1, 1), (2, 2), (3, 3), (4, 3), (5, 4), (6, 5), (7, 6)}
+    assert got <= expected
+    assert len(pairs) == 8
+
+
+@pytest.mark.slow
+def test_sm4_zymo_golden_988(zymo_reference_seq, zymo_npread, template_model):
+    """test_stateMachine4_getAlignedPairsWithBanding
+    (tests/signalPairwiseTest.c:1181-1243): 988 banded, 988 unbanded."""
+    from cpecan_tpu.align import get_aligned_pairs_using_anchors
+    from cpecan_tpu.io.npread import remap_anchor_pairs
+    from cpecan_tpu.models.state_machines import StateMachine4
+    from cpecan_tpu.ops.anchors import filter_to_remove_overlap
+    from cpecan_tpu.ops.blast import (
+        find_lastz, get_blast_pairs_for_pairwise_alignment_parameters)
+
+    l_x = len(zymo_reference_seq) - (KMER_LENGTH - 1)
+    l_y = zymo_npread.n_template_events
+    tp = zymo_npread.template_params
+    model = scale_model(template_model, tp.scale, tp.shift, tp.var,
+                        tp.scale_sd, tp.var_sd)
+    sm = StateMachine4(model)
+    params = AlignmentParams()
+
+    pairs2 = get_aligned_pairs_without_banding(
+        sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y, params,
+        ragged_left=True, ragged_right=True)
+    _check_aligned_pairs(pairs2, l_x, l_y)
+    assert len(pairs2) == 988
+
+    if find_lastz() is not None:
+        anchors = get_blast_pairs_for_pairwise_alignment_parameters(
+            zymo_reference_seq, zymo_npread.twod_read, params)
+        filtered = filter_to_remove_overlap(
+            remap_anchor_pairs(anchors, zymo_npread.template_event_map))
+        pairs = get_aligned_pairs_using_anchors(
+            sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y,
+            filtered, params, ragged_left=True, ragged_right=True)
+        _check_aligned_pairs(pairs, l_x, l_y)
+        assert len(pairs) == 988
+
+
+@pytest.mark.slow
+def test_vanilla_zymo_golden(zymo_reference_seq, zymo_npread, template_model):
+    """test_vanilla_getAlignedPairsWithBanding
+    (tests/signalPairwiseTest.c:1245-1309): 999 banded, 953 unbanded."""
+    from cpecan_tpu.align import get_aligned_pairs_using_anchors
+    from cpecan_tpu.io.npread import remap_anchor_pairs
+    from cpecan_tpu.models.state_machines import StateMachine3Vanilla
+    from cpecan_tpu.ops.anchors import filter_to_remove_overlap
+    from cpecan_tpu.ops.blast import (
+        find_lastz, get_blast_pairs_for_pairwise_alignment_parameters)
+
+    l_x = len(zymo_reference_seq) - (KMER_LENGTH - 1)
+    l_y = zymo_npread.n_template_events
+    tp = zymo_npread.template_params
+    model = scale_model(template_model, tp.scale, tp.shift, tp.var,
+                        tp.scale_sd, tp.var_sd)
+    sm = StateMachine3Vanilla(model)
+    params = AlignmentParams()
+
+    pairs2 = get_aligned_pairs_without_banding(
+        sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y, params)
+    _check_aligned_pairs(pairs2, l_x, l_y)
+    assert len(pairs2) == 953
+
+    if find_lastz() is not None:
+        anchors = get_blast_pairs_for_pairwise_alignment_parameters(
+            zymo_reference_seq, zymo_npread.twod_read, params)
+        filtered = filter_to_remove_overlap(
+            remap_anchor_pairs(anchors, zymo_npread.template_event_map))
+        pairs = get_aligned_pairs_using_anchors(
+            sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y,
+            filtered, params)
+        _check_aligned_pairs(pairs, l_x, l_y)
+        assert len(pairs) == 999
+
+
+@pytest.mark.slow
+def test_echelon_zymo_golden(zymo_reference_seq, zymo_npread, template_model):
+    """test_echelon_getAlignedPairsWithBanding
+    (tests/signalPairwiseTest.c:1382-1448): threshold 0.15, 857 banded,
+    1000 unbanded (multi-state posterior extraction)."""
+    from cpecan_tpu.align import get_aligned_pairs_using_anchors
+    from cpecan_tpu.io.npread import remap_anchor_pairs
+    from cpecan_tpu.models.state_machines import StateMachineEchelon
+    from cpecan_tpu.ops.anchors import filter_to_remove_overlap
+    from cpecan_tpu.ops.blast import (
+        find_lastz, get_blast_pairs_for_pairwise_alignment_parameters)
+
+    l_x = len(zymo_reference_seq) - (KMER_LENGTH - 1)
+    l_y = zymo_npread.n_template_events
+    tp = zymo_npread.template_params
+    model = scale_model(template_model, tp.scale, tp.shift, tp.var,
+                        tp.scale_sd, tp.var_sd)
+    sm = StateMachineEchelon(model)
+    params = AlignmentParams(threshold=0.15)
+
+    pairs2 = get_aligned_pairs_without_banding(
+        sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y, params)
+    assert len(pairs2) == 1000
+
+    if find_lastz() is not None:
+        anchors = get_blast_pairs_for_pairwise_alignment_parameters(
+            zymo_reference_seq, zymo_npread.twod_read, params)
+        filtered = filter_to_remove_overlap(
+            remap_anchor_pairs(anchors, zymo_npread.template_event_map))
+        pairs = get_aligned_pairs_using_anchors(
+            sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y,
+            filtered, params)
+        assert len(pairs) == 857
