@@ -40,6 +40,48 @@ def _round_width(w, multiple=8):
     return max(((w + multiple - 1) // multiple) * multiple, multiple)
 
 
+def _round_bucket(n, granularity=256):
+    """Round scan lengths up to a bucket so jit compilations are reused
+    across reads/iterations of similar size."""
+    return max(((n + granularity - 1) // granularity) * granularity, granularity)
+
+
+_RUN_CACHE = {}
+
+
+def _get_runner(problem, key, ragged_left, strict, compute_expectations):
+    """Build (or fetch) a jitted engine invocation for this shape bucket.
+
+    The cached callable closes over the *static* structure of the first
+    problem seen for the key (transition lists, W, S, weights_fn code) and
+    takes every array — feats, state vectors, control arrays — as traced
+    arguments, so models/reads with the same shape signature share one
+    compilation."""
+    import dataclasses
+
+    if key in _RUN_CACHE:
+        return _RUN_CACHE[key]
+
+    template = problem
+
+    @jax.jit
+    def run(feats, start, end, ragged_start, ragged_end, x_elem_idx,
+            y_elem_idx, ctrl_arrays):
+        prob = dataclasses.replace(
+            template, feats=feats, start=start, end=end,
+            ragged_start=ragged_start, ragged_end=ragged_end,
+            x_elem_idx=x_elem_idx, y_elem_idx=y_elem_idx)
+        from .ops.engine import Control
+        ctrl = Control(**ctrl_arrays, n_diag=0)
+        all_fwd = forward_pass(prob, ctrl, feats,
+                               ragged_left=ragged_left, strict=strict)
+        return backward_pass(prob, ctrl, feats, all_fwd, strict=strict,
+                             compute_expectations=compute_expectations)
+
+    _RUN_CACHE[key] = run
+    return run
+
+
 def _run_one(sm, x_input, y_input, l_x, l_y, anchors, params, *, banded,
              ragged_left, ragged_right, strict, dtype, compute_expectations):
     if banded:
@@ -55,16 +97,20 @@ def _run_one(sm, x_input, y_input, l_x, l_y, anchors, params, *, banded,
         sched = unbanded_schedule(band, ragged_right_end=ragged_right)
     W = _round_width(band.max_width)
     problem = sm.build(x_input, y_input, W, dtype=dtype)
-    ctrl = make_control(band, sched)
+    n_pad = _round_bucket(band.n_diag)
+    n_steps_pad = _round_bucket(sched.n_steps)
+    ctrl = make_control(band, sched, n_pad=n_pad, n_steps_pad=n_steps_pad)
 
-    @jax.jit
-    def run(feats):
-        all_fwd = forward_pass(problem, ctrl, feats,
-                               ragged_left=ragged_left, strict=strict)
-        return backward_pass(problem, ctrl, feats, all_fwd, strict=strict,
-                             compute_expectations=compute_expectations)
-
-    out = dict(run(problem.feats))
+    key = (type(sm).__name__, W, n_pad, n_steps_pad, str(dtype),
+           strict, ragged_left, compute_expectations)
+    run = _get_runner(problem, key, ragged_left, strict, compute_expectations)
+    ctrl_arrays = dict(base=ctrl.base, width=ctrl.width, step_d=ctrl.step_d,
+                       step_seed=ctrl.step_seed, step_emit=ctrl.step_emit,
+                       step_refresh=ctrl.step_refresh,
+                       step_ragged=ctrl.step_ragged)
+    out = dict(run(problem.feats, problem.start, problem.end,
+                   problem.ragged_start, problem.ragged_end,
+                   problem.x_elem_idx, problem.y_elem_idx, ctrl_arrays))
     out["band"] = band
     out["problem"] = problem
     return out

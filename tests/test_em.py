@@ -1,0 +1,88 @@
+"""Baum-Welch EM tests: monotone likelihood over 10 iterations.
+
+Mirrors test_HmmDiscrete_em (tests/pairwiseAlignerTest.c:856-942) and
+test_continuousPairHmm_em (tests/signalPairwiseTest.c:1615-1725), including
+the reference's `pLikelihood <= likelihood * 0.95` assertion.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from cpecan_tpu.align import (AlignmentParams, get_expectations_using_anchors)
+from cpecan_tpu.constants import KMER_LENGTH
+from cpecan_tpu.io.poremodel import scale_model
+from cpecan_tpu.models.hmm import ContinuousPairHmm, HmmDiscrete
+from cpecan_tpu.models.state_machines import (StateMachine3SignalStrawman,
+                                              StateMachine5)
+
+
+def _random_dna(rng, n):
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+def test_discrete_em_monotone_likelihood():
+    rng = np.random.default_rng(11)
+    params = AlignmentParams()
+    for trial in range(2):
+        seq_x = _random_dna(rng, int(rng.integers(20, 60)))
+        # evolve with substitutions
+        seq_y = "".join(c if rng.random() > 0.2 else rng.choice(list("ACGT"))
+                        for c in seq_x)
+        hmm = HmmDiscrete(5, 4)
+        hmm.randomize(rng)
+        p_lik = -math.inf
+        for it in range(10):
+            p, match_t, gap_x, gap_y = hmm.to_sm5_params_symmetric()
+            sm = StateMachine5(params=p, match_table=match_t,
+                               gap_x_table=gap_x, gap_y_table=gap_y)
+            acc = get_expectations_using_anchors(
+                sm, seq_x, seq_y, len(seq_x), len(seq_y), [], params)
+            hmm = HmmDiscrete(5, 4, pseudocount=1e-12)
+            hmm.add_expectations(acc)
+            hmm.normalize()
+            assert p_lik <= hmm.likelihood * 0.95
+            p_lik = hmm.likelihood
+
+
+@pytest.mark.slow
+def test_continuous_pair_hmm_em(zymo_reference_seq, zymo_npread,
+                                template_model):
+    from cpecan_tpu.io.npread import remap_anchor_pairs
+    from cpecan_tpu.ops.anchors import filter_to_remove_overlap
+    from cpecan_tpu.ops.blast import (
+        find_lastz, get_blast_pairs_for_pairwise_alignment_parameters)
+
+    params = AlignmentParams()
+    l_x = len(zymo_reference_seq) - (KMER_LENGTH - 1)
+    l_y = zymo_npread.n_template_events
+    tp = zymo_npread.template_params
+    model = scale_model(template_model, tp.scale, tp.shift, tp.var,
+                        tp.scale_sd, tp.var_sd)
+
+    if find_lastz() is not None:
+        anchors = get_blast_pairs_for_pairwise_alignment_parameters(
+            zymo_reference_seq, zymo_npread.twod_read, params)
+        filtered = filter_to_remove_overlap(
+            remap_anchor_pairs(anchors, zymo_npread.template_event_map))
+    else:
+        filtered = []
+
+    rng = np.random.default_rng(12)
+    hmm = ContinuousPairHmm()
+    hmm.randomize(rng)
+    p_lik = -math.inf
+    for it in range(10):
+        sm_params, gap_x = hmm.to_sm3_params()
+        sm = StateMachine3SignalStrawman(model, params=sm_params,
+                                         gap_x_log_probs=gap_x)
+        acc = get_expectations_using_anchors(
+            sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y,
+            filtered, params)
+        hmm = ContinuousPairHmm()
+        hmm.add_expectations(acc)
+        hmm.normalize()
+        assert p_lik <= hmm.likelihood * 0.95
+        p_lik = hmm.likelihood
+    assert np.isfinite(p_lik)
