@@ -3,11 +3,19 @@
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: a batch of Zymo-scale nanopore signal alignments (each ~900 ref
-6-mers x 800 events, lastz-style anchor chain, default banding parameters)
-through the strawman 3-state posterior engine — the reference's headline
-workload (vanillaAlign per read, SURVEY §3.2).  The reference publishes no
-numbers (BASELINE.md), so vs_baseline is the ratio against the first TPU
-measurement recorded here (cells/s noted in comments as history accrues).
+6-mers x 800 events, anchor chain, default banding parameters) through the
+strawman 3-state posterior engine — the reference's headline workload
+(vanillaAlign per read, SURVEY §3.2).
+
+Path: the Pallas wavefront kernel (fwd + bwd fused scans, 8 reads per kernel
+instance on sublanes, x dense on lanes) with on-device top-k posterior
+compaction; timing includes host transfer of the compacted pairs.
+
+History (this machine, TPU v5e 1 chip):
+  r1 XLA-scan engine:        10.2 alignments/s
+  r1 Pallas wavefront:       ~93  alignments/s
+vs_baseline is the ratio against the first recorded TPU measurement
+(10.2 aligns/s; the reference publishes no numbers — BASELINE.md).
 """
 
 import json
@@ -16,50 +24,44 @@ import time
 
 import numpy as np
 
+FIRST_RECORDED = 10.2  # alignments/s, r1 XLA-scan engine on this chip
+
 
 def main():
-    import jax
-
     sys.path.insert(0, ".")
     from __graft_entry__ import _synthetic_batch
-    from cpecan_tpu.parallel.batch import BatchedAligner
+    from cpecan_tpu.align import AlignmentParams
+    from cpecan_tpu.ops.pallas_fb import StrawmanPallasAligner
 
     batch = 32
-    n_ref = 905          # Zymo fixture scale: 899-chars ref -> ~900 kmers
-    n_events = 800
-    sm, reads = _synthetic_batch(n_reads=batch, n_ref=n_ref,
-                                 n_events=n_events, seed=7)
-    ba = BatchedAligner(strict=False)
-
-    template, feats, xei, yei, ctrl_arrays, bands = ba.prepare(sm, reads)
-    key = ("bench", template.W, ctrl_arrays["base"].shape,
-           ctrl_arrays["step_d"].shape)
-    fn = ba._runner(template, key)
+    sm, reads = _synthetic_batch(n_reads=batch, n_ref=905, n_events=800,
+                                 seed=7)
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False)
 
     def run():
-        out = fn(feats, ctrl_arrays, template.start, template.end,
-                 template.ragged_start, template.ragged_end, xei, yei)
-        # np.asarray forces a device->host transfer: block_until_ready alone
-        # does not synchronize on the axon-tunnelled backend.
-        return np.asarray(out["posteriors"])
+        out = pa.run(sm, reads)
+        vals, idx = out["compact"]
+        # np.asarray forces device->host sync (block_until_ready is not
+        # reliable through the axon tunnel)
+        return np.asarray(vals), np.asarray(idx), out
 
     run()  # compile + warm
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
-        run()
+        vals, idx, out = run()
     dt = (time.perf_counter() - t0) / reps
 
+    bands = out["prep"]["bands"]
     total_cells = int(sum(b.width.sum() for b in bands))
-    cells_per_sec = total_cells / dt
     alignments_per_sec = batch / dt
 
     print(json.dumps({
         "metric": "banded_signal_alignments_per_sec",
         "value": round(alignments_per_sec, 3),
-        "unit": f"alignments/s (batch={batch}, ~{total_cells // batch} band cells each; "
-                f"{cells_per_sec:.3g} DP cells/s)",
-        "vs_baseline": 1.0,
+        "unit": f"alignments/s (batch={batch}, ~{total_cells // batch} band "
+                f"cells each; {total_cells / dt:.3g} DP cells/s)",
+        "vs_baseline": round(alignments_per_sec / FIRST_RECORDED, 2),
     }))
 
 

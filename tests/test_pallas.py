@@ -1,0 +1,114 @@
+"""Pallas wavefront kernel vs the scan engine (interpret mode on CPU).
+
+The fast path uses a single exact full backward pass (no traceback
+windowing), so the comparison target is the scan engine run with a
+single-window plan over the banded geometry.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cpecan_tpu.align import AlignmentParams
+from cpecan_tpu.models.state_machines import StateMachine3SignalStrawman
+from cpecan_tpu.ops.band import _plan_from_windows, make_band
+from cpecan_tpu.ops.engine import (backward_pass, extract_aligned_pairs,
+                                   forward_pass, make_control)
+from cpecan_tpu.ops.pallas_fb import (StrawmanPallasAligner,
+                                      extract_pairs_from_pallas)
+
+
+def _engine_single_window(sm, ref, events, l_x, l_y, anchors, params):
+    band = make_band(anchors, l_x, l_y, params.diagonal_expansion)
+    n = band.n_diag
+    plan = _plan_from_windows([(0, n, n)], False, n)
+    plan.refresh[:] = False
+    plan.refresh[0] = True
+    ctrl = make_control(band, plan)
+    problem = sm.build(ref, events, ((band.max_width + 7) // 8) * 8,
+                       dtype=jnp.float64)
+    all_fwd = forward_pass(problem, ctrl, problem.feats)
+    out = backward_pass(problem, ctrl, problem.feats, all_fwd)
+    return extract_aligned_pairs(out, params.threshold)
+
+
+@pytest.fixture(scope="module")
+def fixture_reads(template_model):
+    from tests.test_parallel import _synthetic_read
+    rng = np.random.default_rng(5)
+    return [_synthetic_read(rng, template_model, n_ref=100 + 10 * i,
+                            n_events=90 + 12 * i) for i in range(8)]
+
+
+def test_pallas_matches_engine_pairs(template_model, fixture_reads):
+    sm = StateMachine3SignalStrawman(template_model)
+    params = AlignmentParams()
+    pa = StrawmanPallasAligner(params, interpret=True)
+    out = pa.run(sm, fixture_reads)
+    for i, (ref, events, l_x, l_y, anchors) in enumerate(fixture_reads):
+        want = _engine_single_window(sm, ref, events, l_x, l_y, anchors,
+                                     params)
+        got = extract_pairs_from_pallas(out, i, params.threshold)
+        want_set = {(x, y) for _, x, y in want}
+        got_set = {(x, y) for _, x, y in got}
+        assert got_set == want_set, (i, got_set ^ want_set)
+        # scores agree to f32 precision
+        ws = {(x, y): s for s, x, y in want}
+        for s, x, y in got:
+            assert abs(s - ws[(x, y)]) <= 10000, (x, y, s, ws[(x, y)])
+
+
+def test_pallas_zymo_pairs(zymo_reference_seq, zymo_npread, template_model):
+    """Kernel vs engine on the real Zymo read (banded, lastz anchors)."""
+    from cpecan_tpu.constants import KMER_LENGTH
+    from cpecan_tpu.io.npread import remap_anchor_pairs
+    from cpecan_tpu.io.poremodel import scale_model
+    from cpecan_tpu.ops.anchors import filter_to_remove_overlap
+    from cpecan_tpu.ops.blast import (
+        find_lastz, get_blast_pairs_for_pairwise_alignment_parameters)
+
+    if find_lastz() is None:
+        pytest.skip("lastz unavailable")
+    params = AlignmentParams()
+    anchors = get_blast_pairs_for_pairwise_alignment_parameters(
+        zymo_reference_seq, zymo_npread.twod_read, params)
+    filtered = filter_to_remove_overlap(
+        remap_anchor_pairs(anchors, zymo_npread.template_event_map))
+    l_x = len(zymo_reference_seq) - (KMER_LENGTH - 1)
+    l_y = zymo_npread.n_template_events
+    tp = zymo_npread.template_params
+    model = scale_model(template_model, tp.scale, tp.shift, tp.var,
+                        tp.scale_sd, tp.var_sd)
+    sm = StateMachine3SignalStrawman(model)
+
+    read = (zymo_reference_seq, zymo_npread.template_events, l_x, l_y,
+            filtered)
+    pa = StrawmanPallasAligner(params, interpret=True)
+    out = pa.run(sm, [read])
+    got = {(x, y) for _, x, y in
+           extract_pairs_from_pallas(out, 0, params.threshold)}
+    want = {(x, y) for _, x, y in _engine_single_window(
+        sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y,
+        filtered, params)}
+    # f32 kernel vs f64 engine: allow a tiny decision fringe near threshold
+    assert len(got ^ want) <= 2, len(got ^ want)
+    assert len(got & want) >= 980
+
+
+def test_compact_extraction_matches_full(template_model, fixture_reads):
+    from cpecan_tpu.ops.pallas_fb import extract_pairs_compact
+    sm = StateMachine3SignalStrawman(template_model)
+    params = AlignmentParams()
+    pa = StrawmanPallasAligner(params, interpret=True)
+    out = pa.run(sm, fixture_reads)
+    vals, idx = out["compact"]
+    prep = out["prep"]
+    for i in range(len(fixture_reads)):
+        full = extract_pairs_from_pallas(out, i, params.threshold)
+        comp = extract_pairs_compact(vals, idx, i, prep["bands"][i].n_diag,
+                                     prep["X"], params.threshold)
+        assert sorted(full) == sorted(comp)
