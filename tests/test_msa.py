@@ -1,0 +1,66 @@
+"""MSA layer tests: consistency filtering and progressive alignment."""
+
+import random
+
+from cpecan_tpu.msa.multiple_aligner import (
+    SeqFrag, filter_pairwise_alignment_to_make_pairs_ordered,
+    make_columns_greedy, make_columns_progressive,
+    filter_multiple_aligned_pairs, make_alignment)
+
+
+def test_filter_ordered_pairs_removes_crossings():
+    # pairs (x, y): (0,0) strong, (1,2) strong, (2,1) weak crossing
+    pairs = [(9_000_000, 0, 0), (8_000_000, 1, 2), (7_000_000, 2, 1)]
+    out = filter_pairwise_alignment_to_make_pairs_ordered(
+        pairs, "ACG", "ACG", 0.0, rng=random.Random(1))
+    kept = {(x, y) for _, x, y in out}
+    assert (0, 0) in kept
+    # the crossing cannot survive together with both strong pairs
+    assert not ((1, 2) in kept and (2, 1) in kept)
+    assert (1, 2) in kept
+
+
+def test_filter_keeps_monotone_chain():
+    pairs = [(9_000_000, i, i) for i in range(10)]
+    out = filter_pairwise_alignment_to_make_pairs_ordered(
+        pairs, "A" * 10, "A" * 10, 0.1, rng=random.Random(1))
+    assert sorted((x, y) for _, x, y in out) == [(i, i) for i in range(10)]
+
+
+def test_greedy_vs_progressive_consistency():
+    rng = random.Random(3)
+    seqs = ["ACGTACGTAC", "ACGTTACGTA", "ACGACGTACC"]
+    frags = [SeqFrag(s, i, i + 10) for i, s in enumerate(seqs)]
+    maps = []
+    for s1 in range(3):
+        for s2 in range(s1 + 1, 3):
+            for i in range(8):
+                maps.append((5_000_000 + rng.randrange(4_000_000),
+                             s1, i, s2, i + rng.choice([0, 1])))
+    for maker in (make_columns_greedy,):
+        cols = maker(frags, maps, 0.2, rng=rng)
+        kept = filter_multiple_aligned_pairs(cols, maps)
+        # every kept pair is in one column; columns are internally ordered
+        for root, members in cols.members.items():
+            by_seq = {}
+            for s, p in members:
+                assert s not in by_seq, "two positions of one seq in a column"
+                by_seq[s] = p
+
+
+def test_make_alignment_all_pairs():
+    seqs = ["ACGTACGT", "ACGTACGT", "ACGAACGT"]
+    frags = [SeqFrag(s, 0, 1) for s in seqs]
+
+    def align_fn(x, y, rl, rr):
+        # perfect diagonal pairs (stand-in for the TPU engine)
+        return [(9_000_000, i, i) for i in range(min(len(x), len(y)))]
+
+    mA = make_alignment(align_fn, frags, spanning_trees=2,
+                        max_pairs_to_consider=10000,
+                        use_progressive_merging=True, match_gamma=0.2,
+                        rng=random.Random(0))
+    assert len(mA.aligned_pairs) > 0
+    # all three sequences aligned position-by-position: columns of size 3
+    sizes = sorted(len(m) for m in mA.columns.members.values())
+    assert sizes[-1] == 3

@@ -1,0 +1,93 @@
+"""cPecanRealign-equivalent CLI end-to-end tests (lastz as oracle where
+available, mirroring cPecanRealignTest.py)."""
+
+import io
+import random
+import subprocess
+
+import numpy as np
+import pytest
+
+from cpecan_tpu.cli.realign import main as realign_main
+from cpecan_tpu.io.cigar import cigar_read_stream, parse_cigar_line
+from cpecan_tpu.ops.blast import LASTZ_ARGS, find_lastz
+
+
+def _mutate(rng, seq, sub=0.1, indel=0.05):
+    out = []
+    for ch in seq:
+        r = rng.random()
+        if r < indel / 2:
+            continue
+        if r < indel:
+            out.append(rng.choice("ACGT"))
+        out.append(rng.choice("ACGT") if rng.random() < sub else ch)
+    return "".join(out)
+
+
+@pytest.fixture(scope="module")
+def seq_pair(tmp_path_factory):
+    rng = random.Random(9)
+    seq_x = "".join(rng.choice("ACGT") for _ in range(300))
+    seq_y = _mutate(rng, seq_x)
+    d = tmp_path_factory.mktemp("realign")
+    fa1 = d / "a.fa"
+    fa2 = d / "b.fa"
+    fa1.write_text(">seqX\n" + seq_x + "\n")
+    fa2.write_text(">seqY\n" + seq_y + "\n")
+    return str(fa1), str(fa2), seq_x, seq_y
+
+
+def _lastz_cigar(fa1, fa2):
+    lastz = find_lastz()
+    if lastz is None:
+        pytest.skip("lastz unavailable")
+    res = subprocess.run([lastz] + LASTZ_ARGS + [fa1, fa2],
+                         capture_output=True, text=True, check=True)
+    lines = [l for l in res.stdout.splitlines() if l.startswith("cigar:")]
+    assert lines
+    return lines[0]
+
+
+def test_realign_covers_same_subsequences(seq_pair):
+    """cPecanRealignTest.py:33-43: the realigned cigar must cover the same
+    subsequences as the input."""
+    fa1, fa2, seq_x, seq_y = seq_pair
+    cig = _lastz_cigar(fa1, fa2)
+    out = io.StringIO()
+    realign_main([fa1, fa2], stdin=io.StringIO(cig + "\n"), stdout=out)
+    in_aln = parse_cigar_line(cig)
+    outs = list(cigar_read_stream(io.StringIO(out.getvalue())))
+    assert len(outs) == 1
+    got = outs[0]
+    assert (got.contig1, got.start1, got.end1, got.strand1) == \
+        (in_aln.contig1, in_aln.start1, in_aln.end1, in_aln.strand1)
+    assert (got.contig2, got.start2, got.end2, got.strand2) == \
+        (in_aln.contig2, in_aln.start2, in_aln.end2, in_aln.strand2)
+
+
+def test_rescore_original_alignment_preserves_cigar(seq_pair):
+    """cPecanRealignTest.py:20-31: with --rescoreOriginalAlignment the output
+    alignment equals the input (only the score changes)."""
+    fa1, fa2, *_ = seq_pair
+    cig = _lastz_cigar(fa1, fa2)
+    out = io.StringIO()
+    realign_main(["-x", "-j", fa1, fa2], stdin=io.StringIO(cig + "\n"),
+                 stdout=out)
+    in_aln = parse_cigar_line(cig)
+    got = parse_cigar_line(out.getvalue().strip())
+    assert got.operations == in_aln.operations
+    assert 0.0 <= got.score <= 100.0
+
+
+def test_expectations_mode(seq_pair, tmp_path):
+    fa1, fa2, *_ = seq_pair
+    cig = _lastz_cigar(fa1, fa2)
+    exp_file = tmp_path / "exp.hmm"
+    realign_main(["-v", str(exp_file), fa1, fa2],
+                 stdin=io.StringIO(cig + "\n"), stdout=io.StringIO())
+    from cpecan_tpu.models.hmm import HmmDiscrete
+    hmm = HmmDiscrete.load(str(exp_file))
+    assert hmm.state_number == 5 and hmm.symbol_set_size == 5
+    assert hmm.transitions.sum() > 0
+    assert np.isfinite(hmm.likelihood)
