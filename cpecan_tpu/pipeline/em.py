@@ -1,0 +1,317 @@
+"""cPecanEm-equivalent: Baum-Welch EM over DNA alignment shards.
+
+Port of cPecanEm.py (the jobTree-distributed EM driver): shard cigars by
+aligned length, sample, iterate E-steps over shards + merged M-step, with
+multi-trial random restarts and a lastz scoring-matrix export.
+
+The reference distributes shards as cluster jobs exchanging text files
+(cPecanEm.py:164-210); here each shard's E-step runs through the batched
+TPU engine and the merge is an in-memory reduction (or jax.lax.psum across
+a device mesh via parallel.mesh for the multi-chip path).
+"""
+
+import math
+import os
+import random
+from dataclasses import dataclass, field
+from itertools import product
+
+import numpy as np
+
+from ..align import AlignmentParams, get_expectations_using_anchors
+from ..cli.realign import (convert_alignment_to_anchor_pairs,
+                           get_sub_sequence, rebase_coordinates)
+from ..io.cigar import cigar_read_stream, cigar_write
+from ..models.state_machines import StateMachine5
+
+SYMBOL_NUMBER = 4
+
+_MODEL_TYPES = {"fiveState": 0, "fiveStateAsymmetric": 1, "threeState": 2,
+                "threeStateAsymmetric": 3}
+_STATE_NUMBERS = {"fiveState": 5, "fiveStateAsymmetric": 5, "threeState": 3,
+                  "threeStateAsymmetric": 3}
+
+
+class PipelineHmm:
+    """cPecanEm.py's Hmm class + text format (cPecanEm.py:19-105):
+    line 1: modelTypeInt transitions... likelihood
+    line 2: emissions
+    line 3 (optional): running likelihoods."""
+
+    def __init__(self, model_type="fiveState"):
+        self.model_type = model_type
+        self.state_number = _STATE_NUMBERS[model_type]
+        self.transitions = np.zeros(self.state_number ** 2)
+        self.emissions = np.zeros(SYMBOL_NUMBER ** 2 * self.state_number)
+        self.likelihood = 0.0
+        self.running_likelihoods = []
+
+    def write(self, path):
+        with open(path, "w") as f:
+            f.write(("%s " % _MODEL_TYPES[self.model_type])
+                    + " ".join(map(str, self.transitions))
+                    + (" %s\n" % self.likelihood))
+            f.write(" ".join(map(str, self.emissions)) + "\n")
+
+    def add_expectations_file(self, path):
+        with open(path) as fh:
+            l = list(map(float, fh.readline().split()))
+            assert int(l[0]) == _MODEL_TYPES[self.model_type]
+            self.likelihood += l[-1]
+            self.transitions = self.transitions + np.array(l[1:-1])
+            l = list(map(float, fh.readline().split()))
+            self.emissions = self.emissions + np.array(l)
+            rest = fh.readline().split()
+            self.running_likelihoods = list(map(float, rest))
+        return self
+
+    @classmethod
+    def load(cls, path):
+        with open(path) as fh:
+            l = fh.readline().split()
+        model_type = {v: k for k, v in _MODEL_TYPES.items()}[int(l[0])]
+        return cls(model_type).add_expectations_file(path)
+
+    def normalise(self):
+        t = self.transitions.reshape(self.state_number, self.state_number)
+        self.transitions = (t / t.sum(axis=1, keepdims=True)).ravel()
+        e = self.emissions.reshape(self.state_number, -1)
+        self.emissions = (e / e.sum(axis=1, keepdims=True)).ravel()
+
+    def randomise(self, rng=None):
+        rng = rng or random
+        self.transitions = np.array([rng.random()
+                                     for _ in range(self.state_number ** 2)])
+        self.emissions = np.array([rng.random() for _ in range(
+            self.state_number * SYMBOL_NUMBER ** 2)])
+        self.normalise()
+
+    def equalise(self):
+        self.transitions = np.full(self.state_number ** 2,
+                                   1.0 / self.state_number)
+        self.emissions = np.full(self.state_number * SYMBOL_NUMBER ** 2,
+                                 1.0 / SYMBOL_NUMBER ** 2)
+
+    def set_emissions_to_jukes_cantor(self, divergence):
+        i = (0.25 + 0.75 * math.exp(-4.0 * divergence / 3.0)) / 4.0
+        j = (0.25 - 0.25 * math.exp(-4.0 * divergence / 3.0)) / 4.0
+        e = self.emissions.reshape(self.state_number, SYMBOL_NUMBER,
+                                   SYMBOL_NUMBER)
+        for x in range(SYMBOL_NUMBER):
+            for y in range(SYMBOL_NUMBER):
+                e[:, x, y] = i if x == y else j
+        self.emissions = e.ravel()
+
+    def tie_emissions(self):
+        e = self.emissions.reshape(self.state_number, SYMBOL_NUMBER,
+                                   SYMBOL_NUMBER)
+        for s in range(self.state_number):
+            ident = np.trace(e[s])
+            e[s][:] = (1.0 - ident) / (SYMBOL_NUMBER ** 2 - SYMBOL_NUMBER)
+            np.fill_diagonal(e[s], ident / SYMBOL_NUMBER)
+        self.emissions = e.ravel()
+
+    def to_state_machine(self):
+        """getStateMachine5-equivalent: load symmetric 5-state params."""
+        from ..models.hmm import HmmDiscrete
+        hd = HmmDiscrete(self.state_number, SYMBOL_NUMBER, type_=0)
+        hd.transitions = self.transitions.reshape(self.state_number,
+                                                  self.state_number).copy()
+        hd.emissions = self.emissions.reshape(self.state_number,
+                                              SYMBOL_NUMBER,
+                                              SYMBOL_NUMBER).copy()
+        p, match_t, gap_x, gap_y = hd.to_sm5_params_symmetric()
+        return StateMachine5(params=p, match_table=match_t,
+                             gap_x_table=gap_x, gap_y_table=gap_y)
+
+
+@dataclass
+class EmOptions:
+    """cPecanEm.py Options (cPecanEm.py:361-380)."""
+
+    model_type: str = "fiveState"
+    input_model: str = None
+    iterations: int = 10
+    trials: int = 3
+    random_start: bool = False
+    update_the_band: bool = False
+    max_alignment_length_per_job: int = 1_000_000
+    max_alignment_length_to_sample: int = 50_000_000
+    use_default_model_as_start: bool = False
+    set_jukes_cantor_starting_emissions: float = None
+    tie_emissions: bool = False
+    train_emissions: bool = False
+    blast_scoring_matrix_file: str = None
+    realign_params: AlignmentParams = field(default_factory=lambda: AlignmentParams(
+        diagonal_expansion=10, split_matrix_bigger_than_this=3000,
+        constraint_diagonal_trim=0))
+
+
+def _shard_alignments(alignments, options, rng):
+    """Shard the cigars by aligned length and sample
+    (cPecanEm.py:129-158)."""
+    shards = []
+    cur = []
+    cur_len = 0.0
+    for aln in alignments:
+        cur.append(aln)
+        cur_len += (abs(aln.start1 - aln.end1) + abs(aln.start2 - aln.end2)) / 2.0
+        if cur_len > options.max_alignment_length_per_job:
+            shards.append((cur, cur_len))
+            cur = []
+            cur_len = 0.0
+    if cur:
+        shards.append((cur, cur_len))
+    rng.shuffle(shards)
+    sampled = []
+    total = 0.0
+    for shard, length in shards:
+        total += length
+        sampled.append(shard)
+        if total >= options.max_alignment_length_to_sample:
+            break
+    return sampled
+
+
+def calculate_shard_expectations(shard, sequences, sm, params):
+    """The E-step for one shard: cPecanRealign --outputExpectations
+    (cPecanEm.py:178-180 -> cPecanRealign.c:584-587)."""
+    from ..models.hmm import HmmDiscrete
+    hmm = HmmDiscrete(5, SYMBOL_NUMBER, pseudocount=1e-12)
+    hmm.likelihood = 0.0
+    for aln in shard:
+        import copy
+        aln = copy.deepcopy(aln)
+        seq_x = sequences[aln.contig1]
+        seq_y = sequences[aln.contig2]
+        flip1, flip2 = not aln.strand1, not aln.strand2
+        shift1 = aln.start1 if aln.strand1 else aln.end1
+        shift2 = aln.start2 if aln.strand2 else aln.end2
+        sub_x = get_sub_sequence(seq_x, aln.start1, aln.end1, aln.strand1)
+        sub_y = get_sub_sequence(seq_y, aln.start2, aln.end2, aln.strand2)
+        rebase_coordinates(aln, 1, -shift1, flip1)
+        rebase_coordinates(aln, 2, -shift2, flip2)
+        anchors = convert_alignment_to_anchor_pairs(
+            aln, params.constraint_diagonal_trim)
+        anchors = [(x, y) for x, y in anchors
+                   if sub_x[x].upper() == sub_y[y].upper()
+                   and sub_x[x].upper() != "N"]
+        acc = get_expectations_using_anchors(
+            sm, sub_x, sub_y, len(sub_x), len(sub_y), anchors, params,
+            ragged_left=True, ragged_right=True)
+        hmm.transitions += np.asarray(acc["trans"])
+        hmm.emissions += np.asarray(acc["emis"])
+        hmm.likelihood += float(acc["likelihood"])
+    return hmm
+
+
+def expectation_maximisation(sequences, alignments, options: EmOptions,
+                             rng=None):
+    """Single EM run (expectationMaximisation(2), cPecanEm.py:107-214).
+    Returns the trained PipelineHmm with running likelihoods."""
+    rng = rng or random.Random(0)
+    if options.input_model is not None:
+        hmm = PipelineHmm.load(options.input_model)
+        hmm.normalise()
+    else:
+        hmm = PipelineHmm(options.model_type)
+        if options.random_start:
+            hmm.randomise(rng)
+        else:
+            hmm.equalise()
+    if options.set_jukes_cantor_starting_emissions is not None:
+        hmm.set_emissions_to_jukes_cantor(
+            options.set_jukes_cantor_starting_emissions)
+
+    shards = _shard_alignments(alignments, options, rng)
+    running = []
+    for iteration in range(options.iterations):
+        use_default = options.use_default_model_as_start and iteration == 0
+        sm = StateMachine5() if use_default else hmm.to_state_machine()
+        merged = None
+        for shard in shards:
+            exp = calculate_shard_expectations(shard, sequences, sm,
+                                               options.realign_params)
+            if merged is None:
+                merged = exp
+            else:
+                merged.transitions += exp.transitions
+                merged.emissions += exp.emissions
+                merged.likelihood += exp.likelihood
+        if merged is None:
+            break
+        new = PipelineHmm(options.model_type)
+        new.transitions = merged.transitions.ravel().copy()
+        new.emissions = merged.emissions.reshape(5, -1)[:, :].reshape(
+            5, SYMBOL_NUMBER, SYMBOL_NUMBER).reshape(5, -1).ravel()
+        new.likelihood = merged.likelihood
+        new.normalise()
+        running.append(new.likelihood)
+        if not options.train_emissions:
+            new.emissions = hmm.emissions.copy()
+        elif options.tie_emissions:
+            new.tie_emissions()
+        hmm = new
+    hmm.running_likelihoods = running
+    return hmm
+
+
+def expectation_maximisation_trials(sequences, alignments, options: EmOptions,
+                                    rng=None):
+    """Multi-trial random restarts picking max likelihood
+    (expectationMaximisationTrials(2), cPecanEm.py:217-242)."""
+    rng = rng or random.Random(0)
+    if options.input_model is not None or not options.random_start:
+        return expectation_maximisation(sequences, alignments, options, rng)
+    trials = [expectation_maximisation(sequences, alignments, options,
+                                       random.Random(rng.random()))
+              for _ in range(options.trials)]
+    return max(trials, key=lambda h: h.likelihood)
+
+
+def make_blast_scoring_matrix(hmm: PipelineHmm, sequences):
+    """makeBlastScoringMatrix (cPecanEm.py:301-337)."""
+    hmm2 = PipelineHmm("threeState")
+    t = hmm.transitions
+    n = hmm.state_number
+    hmm2.transitions = np.concatenate([t[:3], t[n:n + 3], t[2 * n:2 * n + 3]])
+    hmm2.emissions = hmm.emissions[: 3 * SYMBOL_NUMBER ** 2].copy()
+    hmm2.normalise()
+    hmm = hmm2
+
+    gc = sum(sum(1.0 for y in x if y in "GC") for x in sequences) / \
+        max(sum(len(x) for x in sequences), 1)
+
+    def base_prob(x):
+        return gc / 2.0 if x in (1, 2) else (1.0 - gc) / 2.0
+
+    match_probs = [hmm.emissions[x * SYMBOL_NUMBER + y] / (base_prob(x) * base_prob(y))
+                   for x, y in product(range(SYMBOL_NUMBER), range(SYMBOL_NUMBER))]
+    match_continue = hmm.transitions[0]
+    n_prob = math.sqrt(math.exp(
+        (6.94 + sum(math.log(x * match_continue) for x in match_probs))
+        / len(match_probs)))
+    weight = 100
+    match_probs = [weight * math.log((x * match_continue) / n_prob ** 2)
+                   for x in match_probs]
+    s = hmm.state_number
+    gap_open = weight * math.log(
+        (0.5 * (hmm.transitions[1] / n_prob + hmm.transitions[2] / n_prob))
+        * ((hmm.transitions[s * 1 + 0] + hmm.transitions[s * 2 + 0]) / (2 * n_prob ** 2))
+        * ((n_prob ** 2) / match_continue))
+    gap_extend = weight * math.log(
+        0.5 * (hmm.transitions[s * 1 + 1] / n_prob
+               + hmm.transitions[s * 2 + 2] / n_prob))
+    return match_probs, gap_open, gap_extend
+
+
+def write_lastz_scoring_matrix(fh, match_probs, gap_open, gap_extend):
+    """writeLastzScoringMatrix (cPecanEm.py:339-359)."""
+    fh.write("gap_open_penalty = %s\n" % int(round(-gap_open)))
+    fh.write("gap_extend_penalty = %s\n" % int(round(-gap_extend)))
+    bases = "ACGT"
+    fh.write("\t\t" + "\t".join(bases) + "\n")
+    for x in range(4):
+        row = match_probs[x * SYMBOL_NUMBER:(x + 1) * SYMBOL_NUMBER]
+        fh.write("\t%s\t%s\n" % (bases[x],
+                                 "\t".join(str(int(round(v))) for v in row)))

@@ -1,0 +1,133 @@
+"""trainModels-equivalent: signal-HMM Baum-Welch over a set of npReads.
+
+Port of scripts/trainModels.py: per iteration, E-steps over a culled sample
+of reads, merged expectations, normalize, write HMM, track likelihoods.
+The reference fans out one vanillaAlign process per read
+(scripts/trainModels.py:176-209); here reads run through the shared jitted
+engine (and can be sharded over a device mesh via parallel.mesh).
+"""
+
+import os
+import random
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..align import AlignmentParams
+from ..cli.signal_align import get_signal_expectations
+from ..constants import COMPLEMENT, TEMPLATE
+from ..io.npread import load_npread
+from ..models.hmm import ContinuousPairHmm, VanillaHmm
+
+
+@dataclass
+class TrainOptions:
+    sm_type: str = "threeState"     # or "vanilla"
+    iterations: int = 10
+    training_amount: int = 1_000_000  # bases of training data per iteration
+    threshold: float = 0.01
+    params: AlignmentParams = field(default_factory=AlignmentParams)
+
+
+def cull_training_files(read_paths, training_amount, rng):
+    """cull_training_files (scripts/trainModels.py:68-89): shuffle and take
+    reads until the training amount is reached."""
+    paths = list(read_paths)
+    rng.shuffle(paths)
+    out = []
+    total = 0
+    for p in paths:
+        out.append(p)
+        total += os.path.getsize(p)
+        if total >= training_amount:
+            break
+    return out
+
+
+def add_and_norm_expectations(hmms, sm_type):
+    """add_and_norm_expectations (scripts/trainModels.py:108-115): merge
+    per-read expectation containers and normalize (the M-step)."""
+    merged = hmms[0]
+    for h in hmms[1:]:
+        if sm_type == "vanilla":
+            merged.kmer_skip_bins += h.kmer_skip_bins
+        else:
+            merged.transitions += h.transitions
+            merged.kmer_gap_probs += h.kmer_gap_probs
+        merged.likelihood += h.likelihood
+    likelihood = merged.likelihood
+    merged.normalize()
+    return merged, likelihood
+
+
+def train(reference_path, read_guide_pairs, template_model, complement_model,
+          out_template_hmm, out_complement_hmm, options: TrainOptions,
+          rng=None, log=print):
+    """Main EM loop (scripts/trainModels.py:118-236).
+
+    read_guide_pairs: list of (npread_path, guide PairwiseAlignment) — the
+    guide normally comes from bwa (scripts/nanoporeLib.py:202-235); any
+    cigar source works.
+    Returns (template_hmm, complement_hmm, likelihood trajectory).
+    """
+    from ..cli.realign import convert_alignment_to_anchor_pairs, \
+        rebase_coordinates
+    from ..cli.signal_align import make_event_slice
+    from ..io.fasta import reverse_complement
+    from ..ops.anchors import filter_to_remove_overlap
+
+    rng = rng or random.Random(0)
+    with open(reference_path) as fh:
+        reference_seq = fh.readline().strip()
+
+    t_hmm_file = None
+    c_hmm_file = None
+    trajectory = []
+    for iteration in range(options.iterations):
+        sample = read_guide_pairs
+        t_accs, c_accs = [], []
+        for npread_path, guide in sample:
+            import copy
+            aln = copy.deepcopy(guide)
+            np_read = load_npread(npread_path)
+            if aln.strand1:
+                trimmed = reference_seq[aln.start1:aln.end1]
+            else:
+                trimmed = reverse_complement(reference_seq[aln.end1:aln.start1])
+            rc_trimmed = reverse_complement(trimmed)
+            map_offset = aln.start2
+            t_events, _ = make_event_slice(np_read.template_events,
+                                           aln.start2, aln.end2,
+                                           np_read.template_event_map)
+            c_events, _ = make_event_slice(np_read.complement_events,
+                                           aln.start2, aln.end2,
+                                           np_read.complement_event_map)
+            flip1 = not aln.strand1
+            ref_shift = aln.start1 if aln.strand1 else aln.end1
+            rebase_coordinates(aln, 1, -ref_shift, flip1)
+            anchors = filter_to_remove_overlap(sorted(
+                convert_alignment_to_anchor_pairs(
+                    aln, options.params.constraint_diagonal_trim)))
+            t_accs.append(get_signal_expectations(
+                template_model, t_hmm_file, options.sm_type,
+                np_read.template_params, t_events,
+                np_read.template_event_map, map_offset, trimmed,
+                options.params, anchors, TEMPLATE))
+            c_accs.append(get_signal_expectations(
+                complement_model, c_hmm_file, options.sm_type,
+                np_read.complement_params, c_events,
+                np_read.complement_event_map, map_offset, rc_trimmed,
+                options.params, anchors, COMPLEMENT))
+        t_merged, t_lik = add_and_norm_expectations(t_accs, options.sm_type)
+        c_merged, c_lik = add_and_norm_expectations(c_accs, options.sm_type)
+        with open(out_template_hmm, "w") as fh:
+            t_merged.write(fh)
+        with open(out_complement_hmm, "w") as fh:
+            c_merged.write(fh)
+        t_hmm_file = out_template_hmm
+        c_hmm_file = out_complement_hmm
+        trajectory.append((t_lik, c_lik))
+        log(f"iteration {iteration}: template likelihood {t_lik:.2f}, "
+            f"complement likelihood {c_lik:.2f}")
+    return t_merged, c_merged, trajectory
