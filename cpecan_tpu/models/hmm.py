@@ -289,3 +289,92 @@ class VanillaHmm:
             hmm.match_model = np.array(fh.readline().split(), dtype=np.float64)
             hmm.scaled_match_model = np.array(fh.readline().split(), dtype=np.float64)
         return hmm
+
+
+class HdpHmm(ContinuousPairHmm):
+    """ContinuousPairHmm + (kmer, event-mean) assignment collection for HDP
+    training (impl/continuousHmm.c:637-876).
+
+    The reference appends one assignment per transition-into-match whose
+    posterior clears the threshold (cell_signal_updateTransAndKmerSkip-
+    Expectations2, impl/pairwiseAligner.c:486-489); here assignments are
+    collected from the cell's match posterior (the sum of those per-
+    transition posteriors), one per qualifying cell.
+    """
+
+    def __init__(self, state_number=3, symbol_set_size=NUM_OF_KMERS,
+                 threshold=0.0001, pseudocount=0.0):
+        super().__init__(state_number, symbol_set_size,
+                         type_=TYPE_THREE_STATE_HDP, pseudocount=pseudocount)
+        self.threshold = threshold
+        self.kmer_assignments = []
+        self.event_assignments = []
+
+    @property
+    def number_of_assignments(self):
+        return len(self.kmer_assignments)
+
+    def add_assignment(self, kmer, event_mean):
+        self.kmer_assignments.append(kmer)
+        self.event_assignments.append(float(event_mean))
+
+    def collect_assignments(self, posteriors, step_d, step_base, ref_seq,
+                            events, n_diag):
+        """Harvest assignments from a backward pass's posterior tensor."""
+        import numpy as np
+        posts = np.asarray(posteriors)[..., 0]
+        sd = np.asarray(step_d)
+        sb = np.asarray(step_base)
+        s_idx, o_idx = np.nonzero(posts >= self.threshold)
+        for s, o in zip(s_idx, o_idx):
+            d = int(sd[s])
+            if d > n_diag:
+                continue
+            x = int(sb[s]) + int(o)
+            y = d - x
+            if x < 1 or y < 1:
+                continue
+            kmer = ref_seq[x - 1: x - 1 + 6]
+            if len(kmer) == 6:
+                self.add_assignment(kmer, events[y - 1, 0])
+
+    def write(self, fh):
+        # hdpHmm_writeToFile (impl/continuousHmm.c:679-733): 5-line format
+        if np.isnan(self.transitions).any():
+            return
+        fh.write("%i\t%i\t%i\t%f\t%i\t\n" % (
+            self.type, self.state_number, self.symbol_set_size,
+            self.threshold, self.number_of_assignments))
+        fh.write(_fmt(self.transitions.ravel()))
+        fh.write("%f\n" % self.likelihood)
+        fh.write(_fmt(self.kmer_gap_probs))
+        fh.write("\n")
+        fh.write("".join("%f\t" % v for v in self.event_assignments))
+        fh.write("\n")
+        fh.write(" ".join(self.kmer_assignments))
+        if self.kmer_assignments:
+            fh.write(" ")
+        fh.write("\n")
+
+    @classmethod
+    def load(cls, path, nhdp=None):
+        # hdpHmm_loadFromFile (impl/continuousHmm.c:735-876); if an nhdp is
+        # given the assignments are passed into it, like the reference.
+        with open(path) as fh:
+            header = fh.readline().split()
+            type_, s, k = int(header[0]), int(header[1]), int(header[2])
+            threshold, n_assignments = float(header[3]), int(header[4])
+            hmm = cls(s, k, threshold)
+            toks = fh.readline().split()
+            hmm.transitions = np.array(toks[:-1], dtype=np.float64).reshape(s, s)
+            hmm.likelihood = float(toks[-1])
+            hmm.kmer_gap_probs = np.array(fh.readline().split(),
+                                          dtype=np.float64)
+            hmm.event_assignments = [float(v) for v in fh.readline().split()]
+            hmm.kmer_assignments = fh.readline().split()
+        if len(hmm.kmer_assignments) != n_assignments:
+            raise ValueError("assignment count mismatch")
+        if nhdp is not None and n_assignments:
+            nhdp.update_from_assignments(hmm.kmer_assignments,
+                                         hmm.event_assignments)
+        return hmm

@@ -922,3 +922,107 @@ class StateMachineEchelon:
             ragged_end=_vec(self.ragged_end_vec(), dtype),
             W=W, multi_match_states=5,
         )
+
+
+# ---------------------------------------------------------------------------
+# HDP-emission 3-state machine
+# (stateMachine3Hdp_construct, impl/stateMachine.c:1563-1608)
+# ---------------------------------------------------------------------------
+
+class StateMachine3Hdp(_StateMachine3Base):
+    """threeState machine whose match/gap-Y emissions are HDP kmer densities
+    evaluated by cubic-spline interpolation of the sampled grid
+    (get_nanopore_kmer_density -> grid_spline_interp, impl/hdp.c:2577-2601).
+
+    NOTE: the reference adds the *raw density* where its DP expects a log
+    probability (stateMachine3HDP_cellCalculate, impl/stateMachine.c:1353).
+    ``log_density=True`` (default) applies log() for a mathematically sound
+    alignment; pass False for bug-compatible behaviour.
+    """
+
+    slice_inputs = staticmethod(_slice_signal)
+
+    def __init__(self, nhdp, params=None, gap_x_log_probs=None,
+                 log_density=True):
+        super().__init__(params or SM3_NANOPORE_DEFAULTS)
+        self.nhdp = nhdp
+        self.log_density = log_density
+        self.gap_x_log_probs = (np.full(NUM_OF_KMERS, LOG_TENTH)
+                                if gap_x_log_probs is None else gap_x_log_probs)
+
+    def build(self, ref_seq, events, W, dtype=jnp.float64):
+        grid, tables, slopes = self.nhdp.density_tables()
+        # kmer via sequence_getKmer3 (index < 0 -> first element,
+        # impl/pairwiseAligner.c:343-347); effectively position x-1 clamped
+        kx = np.concatenate([[N_SENTINEL], kmers.seq_to_kmer_indices(ref_seq)])
+        valid = kx <= NUM_OF_KMERS
+        safe = np.clip(kx, 0, NUM_OF_KMERS - 1).astype(np.int32)
+        gapx = np.where(valid, self.gap_x_log_probs[safe], LOG_ZERO)
+        tp_l, tp_m, tp_u = self._tps(dtype)
+        feats = dict(
+            kx=jnp.asarray(pad_x_array(safe, W, 0)),
+            kvalid=jnp.asarray(pad_x_array(valid.astype(np.float64), W, 0.0)),
+            gapx=jnp.asarray(pad_x_array(gapx, W, LOG_ZERO), dtype=dtype),
+            tables=jnp.asarray(tables, dtype=dtype),
+            slopes=jnp.asarray(slopes, dtype=dtype),
+            grid0=jnp.asarray(grid[0], dtype=dtype),
+            grid_dx=jnp.asarray(grid[1] - grid[0], dtype=dtype),
+            grid_last=jnp.asarray(grid[-1], dtype=dtype),
+            ev_mean=jnp.asarray(pad_y_array(
+                np.concatenate([[0.0], events[:, 0]]), W, 0.0), dtype=dtype),
+            tp_l=tp_l, tp_m=tp_m, tp_u=tp_u,
+        )
+        G = tables.shape[1]
+        log_density = self.log_density
+
+        def density(f, kx_s, kv_s, mean):
+            # grid_spline_interp on the even grid, vectorized per cell
+            i = jnp.clip(((mean - f["grid0"]) / f["grid_dx"]).astype(jnp.int32),
+                         0, G - 2)
+            y0 = f["tables"][kx_s, i]
+            y1 = f["tables"][kx_s, i + 1]
+            s0 = f["slopes"][kx_s, i]
+            s1 = f["slopes"][kx_s, i + 1]
+            dy = y1 - y0
+            a = s0 * f["grid_dx"] - dy
+            b = dy - s1 * f["grid_dx"]
+            t = (mean - (f["grid0"] + i * f["grid_dx"])) / f["grid_dx"]
+            u = 1.0 - t
+            mid = u * y0 + t * y1 + t * u * (a * u + b * t)
+            lo = f["tables"][kx_s, 0] - f["slopes"][kx_s, 0] * (f["grid0"] - mean)
+            hi = (f["tables"][kx_s, G - 1]
+                  + f["slopes"][kx_s, G - 1] * (mean - f["grid_last"]))
+            d = jnp.where(mean <= f["grid0"], lo,
+                          jnp.where(mean >= f["grid_last"], hi, mid))
+            d = jnp.maximum(d, 0.0)
+            if log_density:
+                d = jnp.where(d > 0.0, jnp.log(jnp.maximum(d, 1e-300)),
+                              LOG_ZERO)
+            return jnp.where(kv_s > 0.5, d, LOG_ZERO)
+
+        def weights_fn(f, d, base):
+            kx_s = slice_x(f["kx"], base, W)
+            kv_s = slice_x(f["kvalid"], base, W)
+            mean = slice_y(f["ev_mean"], d, base, W)
+            e_match = density(f, kx_s, kv_s, mean)
+            e_gap_y = e_match  # getHdpStateMachine3 uses the same density fn
+            e_gap_x = slice_x(f["gapx"], base, W)
+            return {
+                "lower": tuple(e_gap_x + f["tp_l"][i] for i in range(3)),
+                "middle": tuple(e_match + f["tp_m"][i] for i in range(3)),
+                "upper": tuple(e_gap_y + f["tp_u"][i] for i in range(2)),
+            }
+
+        xi = jnp.asarray(pad_x_array(
+            np.minimum(kx, N_SENTINEL).astype(np.int32), W, N_SENTINEL))
+
+        return DpProblem(
+            S=3, match_state=MATCH, transitions=self.transitions,
+            feats=feats, weights_fn=weights_fn,
+            start=_vec(self.start_vec(), dtype), end=_vec(self.end_vec(), dtype),
+            ragged_start=_vec(self.ragged_start_vec(), dtype),
+            ragged_end=_vec(self.ragged_end_vec(), dtype),
+            W=W, x_elem_idx=xi,
+            expectation_spec=ExpectationSpec(kind="signal3",
+                                             n_emission_bins=NUM_OF_KMERS),
+        )
