@@ -35,7 +35,7 @@ def kmer_index(kmer):
     """
     if len(kmer) == 0:
         return N_SENTINEL
-    axis_length = 4 ** KMER_LENGTH
+    axis_length = 4 ** len(kmer)
     l = axis_length // 4
     i = 0
     x = 0
