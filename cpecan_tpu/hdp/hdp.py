@@ -589,10 +589,26 @@ class HierarchicalDirichletProcess:
     # ------------------------------------------------------------------
 
     def execute_gibbs_sampling(self, num_samples, burn_in, thinning,
-                               verbose=False, snapshot_func=None):
-        """execute_gibbs_sampling(_with_snapshots) (impl/hdp.c:2480-2538)."""
+                               verbose=False, snapshot_func=None,
+                               backend="auto"):
+        """execute_gibbs_sampling(_with_snapshots) (impl/hdp.c:2480-2538).
+
+        backend: 'native' runs the C++/OpenMP sampler
+        (native/hdp_gibbs.cc) — the analogue of the reference's OpenMP hot
+        path; 'python' runs this in-process sampler; 'auto' prefers native
+        when the library builds and no snapshot hook is requested.
+        """
         if self.data is None or not self.finalized:
             raise ValueError("need data and finalized structure")
+        if backend not in ("auto", "native", "python"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend != "python" and snapshot_func is None:
+            from .native import native_available, run_native_gibbs
+            if native_available():
+                run_native_gibbs(self, num_samples, burn_in, thinning)
+                return
+            if backend == "native":
+                raise RuntimeError("native hdp_gibbs library unavailable")
         iter_counter = 0
         sample_counter = 0
         sweep = 0

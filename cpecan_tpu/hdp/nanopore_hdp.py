@@ -96,9 +96,9 @@ class NanoporeHDP:
         return self.hdp.dir_proc_density(x, self.kmer_id(kmer))
 
     def execute_gibbs_sampling(self, num_samples, burn_in, thinning,
-                               verbose=False):
+                               verbose=False, backend="auto"):
         self.hdp.execute_gibbs_sampling(num_samples, burn_in, thinning,
-                                        verbose)
+                                        verbose, backend=backend)
 
     def finalize_distributions(self):
         self.hdp.finalize_distributions()
