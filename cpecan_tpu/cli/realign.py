@@ -215,6 +215,11 @@ def main(argv=None, stdin=None, stdout=None):
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
 
+    if args.logLevel:
+        # st_setLogLevelFromString (cPecanRealign.c:507)
+        from ..utils.logging import set_log_level
+        set_log_level(args.logLevel)
+
     params = AlignmentParams(
         gap_gamma=args.gapGamma,
         split_matrix_bigger_than_this=args.splitMatrixBiggerThanThis,

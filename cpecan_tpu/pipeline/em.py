@@ -206,9 +206,13 @@ def calculate_shard_expectations(shard, sequences, sm, params):
 
 
 def expectation_maximisation(sequences, alignments, options: EmOptions,
-                             rng=None):
+                             rng=None, checkpoint_dir=None, resume=False):
     """Single EM run (expectationMaximisation(2), cPecanEm.py:107-214).
-    Returns the trained PipelineHmm with running likelihoods."""
+    Returns the trained PipelineHmm with running likelihoods.
+
+    With checkpoint_dir set, the full trainer state (HMM params, running
+    likelihoods, RNG state) is checkpointed after every M-step and
+    resume=True continues an interrupted run from the latest iteration."""
     rng = rng or random.Random(0)
     if options.input_model is not None:
         hmm = PipelineHmm.load(options.input_model)
@@ -223,9 +227,28 @@ def expectation_maximisation(sequences, alignments, options: EmOptions,
         hmm.set_emissions_to_jukes_cantor(
             options.set_jukes_cantor_starting_emissions)
 
-    shards = _shard_alignments(alignments, options, rng)
+    manager = None
+    start_iteration = 0
     running = []
-    for iteration in range(options.iterations):
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import (CheckpointManager,
+                                        rng_state_from_json,
+                                        rng_state_to_json)
+        manager = CheckpointManager(checkpoint_dir)
+        if resume:
+            restored = manager.restore()
+            if restored is not None:
+                step, arrays, meta = restored
+                start_iteration = step + 1
+                hmm = PipelineHmm(meta["model_type"])
+                hmm.transitions = arrays["transitions"].copy()
+                hmm.emissions = arrays["emissions"].copy()
+                hmm.likelihood = meta["likelihood"]
+                running = list(meta["running"])
+                rng = rng_state_from_json(meta["rng_state"])
+
+    shards = _shard_alignments(alignments, options, rng)
+    for iteration in range(start_iteration, options.iterations):
         use_default = options.use_default_model_as_start and iteration == 0
         sm = StateMachine5() if use_default else hmm.to_state_machine()
         merged = None
@@ -252,6 +275,14 @@ def expectation_maximisation(sequences, alignments, options: EmOptions,
         elif options.tie_emissions:
             new.tie_emissions()
         hmm = new
+        if manager is not None:
+            manager.save(iteration,
+                         arrays={"transitions": hmm.transitions,
+                                 "emissions": hmm.emissions},
+                         meta={"model_type": hmm.model_type,
+                               "likelihood": hmm.likelihood,
+                               "running": running,
+                               "rng_state": rng_state_to_json(rng)})
     hmm.running_likelihoods = running
     return hmm
 

@@ -63,7 +63,7 @@ def add_and_norm_expectations(hmms, sm_type):
 
 def train(reference_path, read_guide_pairs, template_model, complement_model,
           out_template_hmm, out_complement_hmm, options: TrainOptions,
-          rng=None, log=print):
+          rng=None, log=print, checkpoint_dir=None, resume=False):
     """Main EM loop (scripts/trainModels.py:118-236).
 
     read_guide_pairs: list of (npread_path, guide PairwiseAlignment) — the
@@ -84,7 +84,26 @@ def train(reference_path, read_guide_pairs, template_model, complement_model,
     t_hmm_file = None
     c_hmm_file = None
     trajectory = []
-    for iteration in range(options.iterations):
+    start_iteration = 0
+    manager = None
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import CheckpointManager
+        manager = CheckpointManager(checkpoint_dir)
+        if resume:
+            restored = manager.restore()
+            if restored is not None:
+                step, _, meta = restored
+                start_iteration = step + 1
+                trajectory = [tuple(t) for t in meta["trajectory"]]
+                with open(out_template_hmm, "w") as fh:
+                    fh.write(meta["template_hmm"])
+                with open(out_complement_hmm, "w") as fh:
+                    fh.write(meta["complement_hmm"])
+                t_hmm_file = out_template_hmm
+                c_hmm_file = out_complement_hmm
+                log(f"resumed from checkpoint at iteration {step}")
+    t_merged = c_merged = None
+    for iteration in range(start_iteration, options.iterations):
         sample = read_guide_pairs
         t_accs, c_accs = [], []
         for npread_path, guide in sample:
@@ -130,4 +149,18 @@ def train(reference_path, read_guide_pairs, template_model, complement_model,
         trajectory.append((t_lik, c_lik))
         log(f"iteration {iteration}: template likelihood {t_lik:.2f}, "
             f"complement likelihood {c_lik:.2f}")
+        if manager is not None:
+            with open(out_template_hmm) as fh:
+                t_text = fh.read()
+            with open(out_complement_hmm) as fh:
+                c_text = fh.read()
+            manager.save(iteration, meta={
+                "trajectory": [list(t) for t in trajectory],
+                "template_hmm": t_text, "complement_hmm": c_text})
+    if t_merged is None and t_hmm_file is not None:
+        # resumed past the final iteration: reload the written models
+        loader = (VanillaHmm if options.sm_type == "vanilla"
+                  else ContinuousPairHmm)
+        t_merged = loader.load(t_hmm_file)
+        c_merged = loader.load(c_hmm_file)
     return t_merged, c_merged, trajectory
