@@ -7,13 +7,17 @@ Workload: a batch of Zymo-scale nanopore signal alignments (each ~900 ref
 strawman 3-state posterior engine — the reference's headline workload
 (vanillaAlign per read, SURVEY §3.2).
 
-Path: the Pallas wavefront kernel (fwd + bwd fused scans, 8 reads per kernel
-instance on sublanes, x dense on lanes) with on-device top-k posterior
-compaction; timing includes host transfer of the compacted pairs.
+Path: the Pallas wavefront kernel (fwd + bwd fused scans, 16 reads per
+kernel instance on sublanes, x dense on lanes), band-local windowed
+posterior/forward streaming, on-device feature assembly from compact
+uploads, and on-device top-k posterior compaction; timing includes host
+transfer of the compacted pairs.
 
-History (this machine, TPU v5e 1 chip):
-  r1 XLA-scan engine:        10.2 alignments/s
-  r1 Pallas wavefront:       ~93  alignments/s
+History (this machine, TPU v5e 1 chip, batch end-to-end):
+  r1 XLA-scan engine:              10.2 alignments/s
+  r1 Pallas wavefront (first cut): ~93  alignments/s
+  r1 + windowed streams, R=16,
+     on-device assembly:           ~450 alignments/s
 vs_baseline is the ratio against the first recorded TPU measurement
 (10.2 aligns/s; the reference publishes no numbers — BASELINE.md).
 """
@@ -33,13 +37,13 @@ def main():
     from cpecan_tpu.align import AlignmentParams
     from cpecan_tpu.ops.pallas_fb import StrawmanPallasAligner
 
-    batch = 32
+    batch = 256
     sm, reads = _synthetic_batch(n_reads=batch, n_ref=905, n_events=800,
                                  seed=7)
-    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False)
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=16)
 
     def run():
-        out = pa.run(sm, reads)
+        out = pa.run(sm, reads, compact_k=2048)
         vals, idx = out["compact"]
         # np.asarray forces device->host sync (block_until_ready is not
         # reliable through the axon tunnel)

@@ -62,8 +62,10 @@ def _bound_coordinate(z, l_z):
     return 0 if z < 0 else (l_z if z > l_z else z)
 
 
-def band_construct(anchor_pairs, l_x, l_y, expansion):
-    """Port of band_construct (impl/pairwiseAligner.c:131-184).
+def _band_construct_loop(anchor_pairs, l_x, l_y, expansion):
+    """Direct per-diagonal port of band_construct
+    (impl/pairwiseAligner.c:131-184) — the executable reference semantics
+    the vectorized band_construct below is tested against.
 
     anchor_pairs: sequence of (x, y) *sequence* coordinates (0-based, strictly
     increasing in both).  Returns (xmy_l, xmy_r) int64 arrays of length
@@ -103,6 +105,79 @@ def band_construct(anchor_pairs, l_x, l_y, expansion):
             x_u = _bound_coordinate((nxay + (nxmy + expansion)) // 2, l_x)
             y_u = _bound_coordinate((pxay - (pxmy + expansion)) // 2, l_y)
     return xmy_ls, xmy_rs
+
+
+def band_construct(anchor_pairs, l_x, l_y, expansion):
+    """Vectorized band_construct (impl/pairwiseAligner.c:131-184).
+
+    Between consecutive anchors the four band-corner coordinates are
+    constant, so the per-diagonal loop factors into one numpy pass: compute
+    corners per anchor segment, np.repeat them over each segment's diagonal
+    range, then apply the parity fix and the four sequential coordinate
+    bounds (band_setCurrentDiagonal(P), :97-125) as array arithmetic.
+    Identical output to _band_construct_loop (asserted in tests).
+    """
+    assert l_x >= 0 and l_y >= 0
+    assert expansion % 2 == 0
+    n = l_x + l_y
+    # matrix-coordinate waypoints: origin, anchors+1, terminal corner
+    ax = np.asarray([a[0] for a in anchor_pairs], dtype=np.int64) + 1
+    ay = np.asarray([a[1] for a in anchor_pairs], dtype=np.int64) + 1
+    if len(ax):
+        if not (np.all(np.diff(ax) > 0) and np.all(np.diff(ay) > 0)
+                and ax[0] > 0 and ay[0] > 0 and ax[-1] <= l_x
+                and ay[-1] <= l_y):
+            raise AssertionError("anchors must be strictly increasing and "
+                                 "in range")
+    wx = np.concatenate([[0], ax, [l_x]])
+    wy = np.concatenate([[0], ay, [l_y]])
+    pxay = wx[:-1] + wy[:-1]      # segment k: previous waypoint
+    pxmy = wx[:-1] - wy[:-1]
+    nxay = wx[1:] + wy[1:]        # segment k: next waypoint
+    nxmy = wx[1:] - wy[1:]
+
+    def clip(v, hi):
+        return np.clip(v, 0, hi)
+
+    seg_x_l = clip((pxay + (pxmy - expansion)) // 2, l_x)
+    seg_y_l = clip((nxay - (nxmy - expansion)) // 2, l_y)
+    seg_x_u = clip((nxay + (nxmy + expansion)) // 2, l_x)
+    seg_y_u = clip((pxay - (pxmy + expansion)) // 2, l_y)
+
+    # diagonal d>=1 belongs to the first segment with nxay >= d (the loop
+    # advances corners whenever nxay == cur); diagonal 0 uses zero corners
+    lengths = np.diff(np.concatenate([[0], nxay]))
+    x_l = np.concatenate([[0], np.repeat(seg_x_l, lengths)])
+    y_l = np.concatenate([[0], np.repeat(seg_y_l, lengths)])
+    x_u = np.concatenate([[0], np.repeat(seg_x_u, lengths)])
+    y_u = np.concatenate([[0], np.repeat(seg_y_u, lengths)])
+    # degenerate waypoints (repeated nxay) are skipped by np.repeat(0) — but
+    # the final waypoint may coincide with the last anchor; pad to n+1
+    if len(x_l) < n + 1:
+        pad = n + 1 - len(x_l)
+        x_l = np.concatenate([x_l, np.repeat(x_l[-1], pad)])
+        y_l = np.concatenate([y_l, np.repeat(y_l[-1], pad)])
+        x_u = np.concatenate([x_u, np.repeat(x_u[-1], pad)])
+        y_u = np.concatenate([y_u, np.repeat(y_u[-1], pad)])
+
+    xay = np.arange(n + 1, dtype=np.int64)
+    xmy_l = x_l - y_l
+    xmy_r = x_u - y_u
+    xmy_l = np.where((xay + xmy_l) % 2 != 0, xmy_l + 1, xmy_l)
+    xmy_r = np.where((xay + xmy_r) % 2 != 0, xmy_r + 1, xmy_r)
+    # sequential coordinate bounds (band_setCurrentDiagonalP): clamp x
+    # below by x_l / y above by y_l on the left edge, and x above by x_u /
+    # y below by y_u on the right edge
+    xmy_l = xmy_l + 2 * np.maximum(x_l - (xay + xmy_l) // 2, 0)
+    xmy_l = xmy_l + 2 * np.maximum((xay - xmy_l) // 2 - y_l, 0)
+    xmy_r = xmy_r - 2 * np.maximum((xay + xmy_r) // 2 - x_u, 0)
+    xmy_r = xmy_r - 2 * np.maximum(y_u - (xay - xmy_r) // 2, 0)
+    bad = ((xay + xmy_l) % 2 != 0) | ((xay + xmy_r) % 2 != 0) | (xmy_l > xmy_r)
+    if np.any(bad):
+        d0 = int(np.nonzero(bad)[0][0])
+        raise ValueError(f"invalid diagonal: xay {d0} xmyL {xmy_l[d0]} "
+                         f"xmyR {xmy_r[d0]}")
+    return xmy_l, xmy_r
 
 
 @dataclass

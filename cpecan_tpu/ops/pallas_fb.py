@@ -9,20 +9,25 @@ full x range:
     fwd[d][x] <- fwd[d-1][x-1] (lower), fwd[d-2][x-1] (middle),
                  fwd[d-1][x]   (upper)
 
-so the kernel keeps each diagonal as an [8, X] tile — 8 reads on sublanes,
-x on lanes — and the recursion is a lane-roll plus elementwise log-adds.
-Band narrowness is handled by masking, not by shifting windows, which keeps
-all slicing uniform across the 8 batched reads (their bands differ).  Cells
-outside the band are computed-and-masked; the overcompute is repaid by
-perfect (8,128) tiling and by fusing the entire scan into one kernel (the
-XLA-scan engine pays ~1ms/diagonal in dispatch; this kernel pays ~1µs).
+so the kernel keeps each diagonal as an [R, X] tile — R reads on sublanes
+(R=8..32; more reads per group amortize the per-diagonal fixed costs that
+dominate this latency-bound wavefront), x on lanes — and the recursion is a
+lane-roll plus elementwise log-adds.  Band narrowness is handled by
+masking, not by shifting windows, which keeps all slicing uniform across
+the batched reads (their bands differ).  Cells outside the band are
+computed-and-masked; the overcompute is repaid by perfect (8,128) tiling
+and by fusing the entire scan into one kernel (the XLA-scan engine pays
+~1ms/diagonal in dispatch; this kernel pays ~1µs).
 
 Y-side features are pre-flipped and aligned so that the per-diagonal slice
 start (C - d) is identical for all reads in a group.  The forward kernel
 streams each diagonal to HBM through a double-buffered DMA ring; the
-backward kernel streams them back, applies the windowed-traceback step plan
-(seed/refresh/emit flags — identical semantics to ops/band.py:BackwardPlan),
-and emits match posteriors.
+backward kernel streams them back (prefetching the next diagonal while the
+current one computes) and emits match posteriors *band-locally*: each
+diagonal's posteriors are rolled into a narrow [R, W] window at a
+host-precomputed per-group window start covering the union of the group's
+bands, cutting the posterior tensor (and the top-k compaction that
+sparsifies it for the slow host link) by X/W.
 
 This file implements the 3-state strawman signal machine (the flagship
 workload, getStrawManStateMachine3); other families reuse the scaffold.
@@ -80,8 +85,6 @@ def _shift_left(v):
     return jnp.where(lane == v.shape[1] - 1, NEG, r)
 
 
-
-
 def _dyn_lane_slice(ref, row, start, X):
     """ref[:, row, start:start+X] for arbitrary (unaligned) traced start.
 
@@ -96,16 +99,14 @@ def _dyn_lane_slice(ref, row, start, X):
     return rot[:, :X]
 
 
-
 def _col_select(row, idx):
     """Per-sublane column extraction via onehot + lane reduction.
 
-    Reductions produce lane-replicated layouts, so the resulting [8,1]
-    broadcasts cleanly against [8,X] tiles (a direct dynamic-slice column has
+    Reductions produce lane-replicated layouts, so the resulting [R,1]
+    broadcasts cleanly against [R,X] tiles (a direct dynamic-slice column has
     a dynamic lane layout Mosaic cannot relayout to replicated).
-    row: [8, L] value; idx: traced scalar."""
-    L = row.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, L), 1)
+    row: [R, L] value; idx: traced scalar."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
     return jnp.sum(jnp.where(lane == idx, row, 0.0), axis=1, keepdims=True)
 
 # Transition scalar order for the strawman machine; start/end/ragged-end
@@ -117,11 +118,21 @@ RE_M, RE_X, RE_Y = 14, 15, 16
 N_SCAL = 17
 
 
-def _sm3_forward_kernel(scal, xf, yf, basef, widthf, out_ref, sem, scratch,
-                        *, X, ND, C):
-    """One group of 8 reads: full forward pass over ND diagonals."""
+def _window_out(v, w0, X, W):
+    """[R, X] tile -> its [R, W] band-local window at lane offset w0."""
+    if W == X:
+        return v
+    return pltpu.roll(v, X - w0, axis=1)[:, :W]
+
+
+def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, out_ref, sem,
+                        scratch, *, X, ND, C, R, W):
+    """One group of R reads: full forward pass over ND diagonals.  Each
+    diagonal is streamed to HBM band-locally as an [3, R, W] window at the
+    group window start winf[0, 0, d] (band ⊆ window by construction), which
+    keeps the forward tensor and its DMA X/W times smaller."""
     g = pl.program_id(0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, X), 1).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, X), 1).astype(jnp.float32)
     e_gapx = xf[:, 8, :]
     t = [scal[0, i] for i in range(N_SCAL)]
 
@@ -134,15 +145,16 @@ def _sm3_forward_kernel(scal, xf, yf, basef, widthf, out_ref, sem, scratch,
         return (lane >= base) & (lane < base + width)
 
     m0 = band_mask(0)
-    zeros = jnp.zeros((8, X), jnp.float32) + 0.0 * lane
+    zeros = jnp.zeros((R, X), jnp.float32) + 0.0 * lane
     prev1_m = jnp.where(m0, zeros + t[S_M], NEG)
     prev1_x = jnp.where(m0, zeros + t[S_X], NEG)
     prev1_y = jnp.where(m0, zeros + t[S_Y], NEG)
-    neg = jnp.full((8, X), NEG, jnp.float32) + 0.0 * lane
+    neg = jnp.full((R, X), NEG, jnp.float32) + 0.0 * lane
 
-    scratch[0, 0] = prev1_m
-    scratch[0, 1] = prev1_x
-    scratch[0, 2] = prev1_y
+    w0 = winf[0, 0, 0]
+    scratch[0, 0] = _window_out(prev1_m, w0, X, W)
+    scratch[0, 1] = _window_out(prev1_x, w0, X, W)
+    scratch[0, 2] = _window_out(prev1_y, w0, X, W)
     pltpu.make_async_copy(scratch.at[0], out_ref.at[g, 0], sem.at[0]).start()
 
     def step(d, carry):
@@ -176,9 +188,10 @@ def _sm3_forward_kernel(scal, xf, yf, basef, widthf, out_ref, sem, scratch,
             pltpu.make_async_copy(scratch.at[slot], out_ref.at[g, d - 2],
                                   sem.at[slot]).wait()
 
-        scratch[slot, 0] = new_m
-        scratch[slot, 1] = new_x
-        scratch[slot, 2] = new_y
+        w0 = winf[0, 0, d]
+        scratch[slot, 0] = _window_out(new_m, w0, X, W)
+        scratch[slot, 1] = _window_out(new_x, w0, X, W)
+        scratch[slot, 2] = _window_out(new_y, w0, X, W)
         pltpu.make_async_copy(scratch.at[slot], out_ref.at[g, d],
                               sem.at[slot]).start()
         return new_m, new_x, new_y, p1m, p1x, p1y
@@ -199,14 +212,9 @@ def _masked_lse(v, mask):
     return m + jnp.log(jnp.maximum(s, 1e-37))
 
 
-def _lse2(a, b):
-    m = jnp.maximum(a, b)
-    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
-
-
-def _sm3_backward_kernel(scal, xf, yf, basef, widthf, seedf, raggedf,
+def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                          fwd_ref, post_ref, tot_ref, sems, fscratch,
-                         pscratch, *, X, ND, C):
+                         pscratch, *, X, ND, C, R, W):
     """Full backward sweep d = ND..1 with per-read end seeding.
 
     The fast path decodes posteriors from the exact full backward pass
@@ -215,9 +223,13 @@ def _sm3_backward_kernel(scal, xf, yf, basef, widthf, seedf, raggedf,
     length coexist in one group: read r seeds its end-state initialisation at
     its own final diagonal via seedf[r, d], and diagonals beyond its range
     have zero band width (fully masked).
+
+    Forward diagonals are prefetched one step ahead (double-buffered DMA);
+    posteriors are emitted band-locally as [R, W] windows at the group
+    window start winf[0, d].
     """
     g = pl.program_id(0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, X), 1).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, X), 1).astype(jnp.float32)
     e_gapx = xf[:, 8, :]
     t = [scal[0, i] for i in range(N_SCAL)]
 
@@ -242,19 +254,23 @@ def _sm3_backward_kernel(scal, xf, yf, basef, widthf, seedf, raggedf,
 
     # 0*iota forces a non-replicated layout so the fori_loop carry
     # unifies with the computed (non-replicated) updates.
-    neg = jnp.full((8, X), NEG, jnp.float32) + 0.0 * lane
+    neg = jnp.full((R, X), NEG, jnp.float32) + 0.0 * lane
 
-    def fetch_fwd(d, slot):
-        cp = pltpu.make_async_copy(fwd_ref.at[g, d], fscratch.at[slot],
-                                   sems.at[2 + slot])
-        cp.start()
-        cp.wait()
+    def start_fetch(d, slot):
+        pltpu.make_async_copy(fwd_ref.at[g, d], fscratch.at[slot],
+                              sems.at[2 + slot]).start()
+
+    def wait_fetch(d, slot):
+        pltpu.make_async_copy(fwd_ref.at[g, d], fscratch.at[slot],
+                              sems.at[2 + slot]).wait()
+
+    start_fetch(ND, 0)
 
     def step(s, carry):
         n1m, n1x, n1y, n2m, total = carry
         d = ND - s
         # per-read seed/ragged flags as exact 0/1 columns (lane-replicated
-        # reduction outputs); applied arithmetically — selects with [8,1]
+        # reduction outputs); applied arithmetically — selects with [R,1]
         # predicates trip Mosaic layout unification.
         sa = _col_select(seed_rows, d)       # 0.0 or 1.0
         ra = _col_select(ragged_rows, d)
@@ -295,16 +311,33 @@ def _sm3_backward_kernel(scal, xf, yf, basef, widthf, seedf, raggedf,
         init_m = t[E_M] * (1.0 - ra) + t[RE_M] * ra
         init_x = t[E_X] * (1.0 - ra) + t[RE_X] * ra
         init_y = t[E_Y] * (1.0 - ra) + t[RE_Y] * ra
-        seed_in = sa * mask.astype(jnp.float32)   # [8,X] exact 0/1
+        seed_in = sa * mask.astype(jnp.float32)   # [R,X] exact 0/1
         bw_m = bw_m * (1.0 - seed_in) + init_m * seed_in
         bw_x = bw_x * (1.0 - seed_in) + init_x * seed_in
         bw_y = bw_y * (1.0 - seed_in) + init_y * seed_in
 
-        # fetch fwd[d]
-        fetch_fwd(d, 0)
-        f_m = fscratch[0, 0]
-        f_x = fscratch[0, 1]
-        f_y = fscratch[0, 2]
+        # fwd[d] was prefetched last step; kick off fwd[d-1] now (not at
+        # d == 1: an unconsumed in-flight DMA may not outlive the kernel)
+        slot = s % 2
+        wait_fetch(d, slot)
+
+        @pl.when(d >= 2)
+        def _():
+            start_fetch(d - 1, (s + 1) % 2)
+
+        w0 = winf[0, 0, d]
+
+        def unpack(v):
+            # [R, W] window at lane offset w0 -> [R, X] frame, NEG outside
+            if W == X:
+                return v
+            padded = jnp.concatenate(
+                [v, jnp.full((R, X - W), NEG, jnp.float32)], axis=1)
+            return pltpu.roll(padded, w0, axis=1)
+
+        f_m = unpack(fscratch[slot, 0])
+        f_x = unpack(fscratch[slot, 1])
+        f_y = unpack(fscratch[slot, 2])
 
         # --- total probability: one exact total per read, computed at its
         # seed diagonal (full backward => identical along every diagonal)
@@ -318,23 +351,26 @@ def _sm3_backward_kernel(scal, xf, yf, basef, widthf, seedf, raggedf,
         post = jnp.where(ok, jnp.exp(jnp.minimum(f_m + bw_m - total, 0.69)),
                          0.0)
 
-        slot = s % 2
+        # band-local window: lanes [w0, w0+W) -> [0, W)
+        post_win = _window_out(post, w0, X, W)
+
+        pslot = s % 2
 
         @pl.when(s >= 2)
         def _():
-            pltpu.make_async_copy(pscratch.at[slot],
+            pltpu.make_async_copy(pscratch.at[pslot],
                                   post_ref.at[g, ND - (s - 2)],
-                                  sems.at[slot]).wait()
+                                  sems.at[pslot]).wait()
 
-        pscratch[slot] = post
-        pltpu.make_async_copy(pscratch.at[slot], post_ref.at[g, d],
-                              sems.at[slot]).start()
+        pscratch[pslot] = post_win
+        pltpu.make_async_copy(pscratch.at[pslot], post_ref.at[g, d],
+                              sems.at[pslot]).start()
 
         return bw_m, bw_x, bw_y, n1m, total
 
-    carry = (neg, neg, neg, neg, jnp.full((8, 1), NEG, jnp.float32))
+    carry = (neg, neg, neg, neg, jnp.full((R, 1), NEG, jnp.float32))
     carry = jax.lax.fori_loop(0, ND, step, carry)
-    tot_ref[0] = carry[4] + jnp.zeros((8, tot_ref.shape[-1]), jnp.float32)
+    tot_ref[0] = carry[4] + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
     pltpu.make_async_copy(pscratch.at[(ND - 1) % 2], post_ref.at[g, 1],
                           sems.at[(ND - 1) % 2]).wait()
     pltpu.make_async_copy(pscratch.at[(ND - 2) % 2], post_ref.at[g, 2],
@@ -346,16 +382,19 @@ def _round_up(v, m):
 
 
 class StrawmanPallasAligner:
-    """Group-of-8 batched banded forward/backward for the strawman machine.
+    """Group-of-R batched banded forward/backward for the strawman machine.
 
-    Fast path: exact full backward (no traceback windowing), f32, posterior
-    tensor returned per diagonal.
+    Fast path: exact full backward (no traceback windowing), f32, posteriors
+    emitted as band-local [R, W] windows per diagonal.  R (reads per kernel
+    instance) amortizes the per-diagonal fixed costs; 32 is the TPU sweet
+    spot, 8 keeps CPU interpret-mode tests cheap.
     """
 
-    def __init__(self, params=None, interpret=False):
+    def __init__(self, params=None, interpret=False, group=8):
         from ..align import AlignmentParams
         self.params = params or AlignmentParams()
         self.interpret = interpret
+        self.group = group
         self._cache = {}
 
     def _scalars(self, sm):
@@ -371,52 +410,81 @@ class StrawmanPallasAligner:
         arr = np.nan_to_num(arr, neginf=NEG)
         return np.maximum(arr, NEG).astype(np.float32)
 
-    def _features(self, sm, reads, X, C):
-        """[B, 9, X] x-features; [B, 2, C+X] flipped/aligned y-features."""
-        from ..constants import N_SENTINEL, NUM_OF_KMERS
+    def _feature_inputs(self, reads, X):
+        """Compact per-read inputs for on-device feature assembly: kmer
+        indices [B, X] int16 and events [B, maxev+1, 2] f32.  Keeping the
+        upload small matters — the host->device link is the slow resource,
+        so the [B, 9, X] gathers happen on the TPU (_assemble_features)."""
+        from ..constants import N_SENTINEL
         from ..models import kmers as K
 
         B = len(reads)
-        xf = np.zeros((B, 9, X), np.float32)
-        xf[:, 8, :] = NEG
-        yf = np.zeros((B, 2, C + X + 256), np.float32)
-        for r, (ref, events, l_x, l_y, _a) in enumerate(reads):
-            kx = np.concatenate([[N_SENTINEL], K.seq_to_kmer_indices(ref)])
-            valid = kx <= NUM_OF_KMERS
-            safe = np.clip(kx, 0, NUM_OF_KMERS - 1)
-            mm = sm.model.match_model
-            gm = sm.model.gap_y_model
-            for i, (rows, col) in enumerate([(mm, 0), (mm, 1), (mm, 2), (mm, 3),
-                                             (gm, 0), (gm, 1), (gm, 2), (gm, 3)]):
-                v = np.where(valid, rows[safe, col], 0.0)
-                xf[r, i, : len(v)] = v
-            gx = np.where(valid, sm.gap_x_log_probs[safe], NEG)
-            xf[r, 8, : len(gx)] = np.maximum(gx, NEG)
+        kx = np.full((B, X), N_SENTINEL, dtype=np.int16)
+        max_ev = max(r[1].shape[0] for r in reads)
+        ev = np.zeros((B, max_ev + 1, 2), np.float32)
+        for r, (ref, events, _l_x, _l_y, _a) in enumerate(reads):
+            ki = K.seq_to_kmer_indices(ref)
+            kx[r, 1:1 + len(ki)] = ki
+            ev[r, 1:1 + len(events), :] = events[:, :2]
+        return kx, ev
 
-            # yf[r, k, j] = event feature at y = C - j (y=0 is a sentinel)
-            ev_m = np.concatenate([[0.0], events[:, 0]])
-            ev_n = np.concatenate([[0.0], events[:, 1]])
-            j = C - np.arange(len(ev_m))
-            keep = (j >= 0) & (j < C + X + 256)
-            yf[r, 0, j[keep]] = ev_m[keep]
-            yf[r, 1, j[keep]] = ev_n[keep]
-        return xf, yf
+    def _assemble_fn(self, C, Y):
+        """Jitted on-device feature assembly (cached per (C, Y) shape)."""
+        key = ("asm", C, Y)
+        if key in self._cache:
+            return self._cache[key]
+        from ..constants import NUM_OF_KMERS
+
+        def assemble(kx, ev, mm, gm, gapx):
+            kx = kx.astype(jnp.int32)
+            valid = kx <= NUM_OF_KMERS
+            safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
+            rows = [jnp.where(valid, mm[safe, c], 0.0) for c in range(4)]
+            rows += [jnp.where(valid, gm[safe, c], 0.0) for c in range(4)]
+            rows += [jnp.maximum(jnp.where(valid, gapx[safe], NEG), NEG)]
+            xf = jnp.stack(rows, axis=1).astype(jnp.float32)
+            B, E, _ = ev.shape
+            n = min(E, C + 1)  # y in [0, C] maps to j = C - y >= 0
+            yf = jnp.zeros((B, 2, Y), jnp.float32)
+            yf = yf.at[:, 0, C - n + 1:C + 1].set(ev[:, :n, 0][:, ::-1])
+            yf = yf.at[:, 1, C - n + 1:C + 1].set(ev[:, :n, 1][:, ::-1])
+            return xf, yf
+
+        fn = jax.jit(assemble)
+        self._cache[key] = fn
+        return fn
+
+    def _model_tables(self, sm):
+        """Device-resident model tables, uploaded once per state machine."""
+        key = ("model", id(sm))
+        if key not in self._cache:
+            self._cache[key] = (
+                jax.device_put(np.asarray(sm.model.match_model[:, :4],
+                                          np.float32)),
+                jax.device_put(np.asarray(sm.model.gap_y_model[:, :4],
+                                          np.float32)),
+                jax.device_put(np.nan_to_num(
+                    np.asarray(sm.gap_x_log_probs, np.float32),
+                    neginf=NEG)),
+            )
+        return self._cache[key]
 
     def prepare(self, sm, reads, ragged_right=False):
         from ..ops.band import make_band
 
         p = self.params
+        R = self.group
         bands = [make_band(a, l_x, l_y, p.diagonal_expansion)
                  for _, _, l_x, l_y, a in reads]
         B = len(reads)
-        G = _round_up(B, 8) // 8
-        Bp = G * 8
+        G = _round_up(B, R) // R
+        Bp = G * R
         X = _round_up(max(r[2] for r in reads) + 2, 128)
         ND = max(b.n_diag for b in bands)
         C = ND + 3
         NDp = _round_up(ND + 3, 128) + 128
 
-        xf, yf = self._features(sm, reads + [reads[-1]] * (Bp - B), X, C)
+        kx, ev = self._feature_inputs(reads + [reads[-1]] * (Bp - B), X)
         basef = np.zeros((Bp, NDp), np.float32)
         widthf = np.zeros((Bp, NDp), np.float32)
         seedf = np.zeros((Bp, NDp), np.float32)
@@ -428,34 +496,84 @@ class StrawmanPallasAligner:
             seedf[r, n] = 1.0
             if ragged_right:
                 raggedf[r, n] = 1.0
-        return dict(xf=xf, yf=yf, basef=basef, widthf=widthf, seedf=seedf,
-                    raggedf=raggedf, bands=bands, X=X, ND=ND, C=C, B=B, Bp=Bp)
+        # padding rows reuse the last band so their windows stay consistent
+        for r in range(B, Bp):
+            band = bands[-1]
+            n = band.n_diag
+            basef[r, : n + 1] = band.x_lo
+            widthf[r, : n + 1] = band.width
+            seedf[r, n] = 1.0
 
-    def run(self, sm, reads, ragged_right=False):
+        # per-group posterior windows: [lo, lo+W) covers the union of the
+        # group's bands on every diagonal
+        act = widthf > 0
+        lo_all = np.where(act, basef, np.inf)
+        hi_all = np.where(act, basef + widthf, -np.inf)
+        W = 128
+        win = np.zeros((G, NDp), np.int32)
+        for g in range(G):
+            lo = lo_all[g * R:(g + 1) * R].min(axis=0)
+            hi = hi_all[g * R:(g + 1) * R].max(axis=0)
+            any_act = np.isfinite(lo)
+            spread = np.where(any_act, hi - lo, 0.0)
+            W = max(W, int(_round_up(int(spread.max()), 128)))
+        W = min(W, X)
+        for g in range(G):
+            lo = lo_all[g * R:(g + 1) * R].min(axis=0)
+            lo = np.where(np.isfinite(lo), lo, 0.0)
+            win[g] = np.clip(lo.astype(np.int64), 0, X - W)
+        # band arrays ship as int16/uint8 (values < 2^15) and widen to f32
+        # on device — upload bandwidth is the scarce resource
+        return dict(kx=kx, ev=ev, basef=basef.astype(np.int16),
+                    widthf=widthf.astype(np.int16),
+                    seedf=seedf.astype(np.uint8),
+                    raggedf=raggedf.astype(np.uint8),
+                    win=win, bands=bands, X=X, ND=ND, C=C,
+                    B=B, Bp=Bp, R=R, W=W)
+
+    def _widen_fn(self):
+        key = ("widen",)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                lambda *a: tuple(v.astype(jnp.float32) for v in a))
+        return self._cache[key]
+
+    def run(self, sm, reads, ragged_right=False, compact_k=4096):
         prep = self.prepare(sm, reads, ragged_right=ragged_right)
-        X, ND, C = prep["X"], prep["ND"], prep["C"]
+        X, ND, C, W = prep["X"], prep["ND"], prep["C"], prep["W"]
         scal = self._scalars(sm)
-        fwd_fn, bwd_fn = self._fns(X, ND, C)
-        fwd = fwd_fn(scal, prep["xf"], prep["yf"], prep["basef"],
-                     prep["widthf"])
-        posts, totals = bwd_fn(scal, prep["xf"], prep["yf"], prep["basef"],
-                               prep["widthf"], prep["seedf"], prep["raggedf"],
-                               fwd)
+        fwd_fn, bwd_fn = self._fns(X, ND, C, W)
+        # features assemble on device from compact uploads (kmer indices +
+        # events + once-per-model tables) — the upload link is slow
+        mm, gm, gapx = self._model_tables(sm)
+        xf, yf = self._assemble_fn(C, C + X + 256)(
+            jax.device_put(prep["kx"]), jax.device_put(prep["ev"]),
+            mm, gm, gapx)
+        basef, widthf, seedf, raggedf = self._widen_fn()(
+            jax.device_put(prep["basef"]), jax.device_put(prep["widthf"]),
+            jax.device_put(prep["seedf"]), jax.device_put(prep["raggedf"]))
+        win3 = jax.device_put(prep["win"][:, None, :])
+        fwd = fwd_fn(scal, win3, xf, yf, basef, widthf)
+        posts, totals = bwd_fn(scal, win3, xf, yf, basef, widthf, seedf,
+                               raggedf, fwd)
         global _compact_jit
         if _compact_jit is None:
             import jax as _jax
             _compact_jit = _jax.jit(compact_posteriors, static_argnums=1)
-        vals, idx = _compact_jit(posts, 4096)
+        vals, idx = _compact_jit(posts, min(compact_k, (ND) * W))
         return dict(posteriors=posts, compact=(vals, idx), totals=totals,
                     prep=prep)
 
-    def _fns(self, X, ND, C):
-        key = (X, ND, C)
+    def _fns(self, X, ND, C, W):
+        key = (X, ND, C, W, self.group)
         if key in self._cache:
             return self._cache[key]
 
-        fwd_kernel = functools.partial(_sm3_forward_kernel, X=X, ND=ND, C=C)
-        bwd_kernel = functools.partial(_sm3_backward_kernel, X=X, ND=ND, C=C)
+        R = self.group
+        fwd_kernel = functools.partial(_sm3_forward_kernel, X=X, ND=ND, C=C,
+                                       R=R, W=W)
+        bwd_kernel = functools.partial(_sm3_backward_kernel, X=X, ND=ND, C=C,
+                                       R=R, W=W)
         NDp = _round_up(ND + 3, 128) + 128
 
         vspec = lambda shape: pl.BlockSpec(
@@ -465,56 +583,60 @@ class StrawmanPallasAligner:
         common_in = [
             pl.BlockSpec((1, N_SCAL), lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
-            vspec((8, 9, X)),
-            vspec((8, 2, C + X + 256)),
-            vspec((8, NDp)),
-            vspec((8, NDp)),
+            vspec((R, 9, X)),
+            vspec((R, 2, C + X + 256)),
+            vspec((R, NDp)),
+            vspec((R, NDp)),
         ]
 
-        def fwd(scal, xf, yf, basef, widthf):
-            G = xf.shape[0] // 8
+        win_spec = pl.BlockSpec((1, 1, NDp), lambda g: (g, 0, 0),
+                                memory_space=pltpu.SMEM)
+
+        def fwd(scal, win, xf, yf, basef, widthf):
+            G = xf.shape[0] // R
             return pl.pallas_call(
                 fwd_kernel,
                 grid=(G,),
-                in_specs=list(common_in),
-                out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-                out_shape=jax.ShapeDtypeStruct((G, ND + 1, 3, 8, X),
+                in_specs=[common_in[0], win_spec] + list(common_in[1:]),
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                out_shape=jax.ShapeDtypeStruct((G, ND + 1, 3, R, W),
                                                jnp.float32),
                 scratch_shapes=[
                     pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.VMEM((2, 3, 8, X), jnp.float32),
+                    pltpu.VMEM((2, 3, R, W), jnp.float32),
                 ],
                 compiler_params=pltpu.CompilerParams(has_side_effects=True),
                 interpret=self.interpret,
-            )(scal, xf, yf, basef, widthf)
+            )(scal, win, xf, yf, basef, widthf)
 
-        def bwd(scal, xf, yf, basef, widthf, seedf, raggedf, fwd_hbm):
-            G = xf.shape[0] // 8
+        def bwd(scal, win, xf, yf, basef, widthf, seedf, raggedf, fwd_hbm):
+            G = xf.shape[0] // R
             return pl.pallas_call(
                 bwd_kernel,
                 grid=(G,),
-                in_specs=list(common_in) + [
-                    vspec((8, NDp)),
-                    vspec((8, NDp)),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                in_specs=[common_in[0], win_spec]
+                         + list(common_in[1:]) + [
+                    vspec((R, NDp)),
+                    vspec((R, NDp)),
+                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_shape=[
-                    jax.ShapeDtypeStruct((G, ND + 1, 8, X), jnp.float32),
-                    jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
+                    jax.ShapeDtypeStruct((G, ND + 1, R, W), jnp.float32),
+                    jax.ShapeDtypeStruct((G, R, 128), jnp.float32),
                 ],
                 scratch_shapes=[
                     pltpu.SemaphoreType.DMA((4,)),
-                    pltpu.VMEM((2, 3, 8, X), jnp.float32),
-                    pltpu.VMEM((2, 8, X), jnp.float32),
+                    pltpu.VMEM((2, 3, R, W), jnp.float32),
+                    pltpu.VMEM((2, R, W), jnp.float32),
                 ],
                 compiler_params=pltpu.CompilerParams(has_side_effects=True),
                 interpret=self.interpret,
-            )(scal, xf, yf, basef, widthf, seedf, raggedf, fwd_hbm)
+            )(scal, win, xf, yf, basef, widthf, seedf, raggedf, fwd_hbm)
 
         fns = (jax.jit(fwd), jax.jit(bwd))
         self._cache[key] = fns
@@ -522,35 +644,40 @@ class StrawmanPallasAligner:
 
 
 def extract_pairs_from_pallas(out, read_idx, threshold):
-    """Host-side pair extraction from the kernel's posterior tensor
-    (posteriors[g, d, r, x] = match posterior of cell (x, d-x) of read r)."""
+    """Host-side pair extraction from the kernel's windowed posterior tensor
+    (posteriors[g, d, r, l] = match posterior of cell (x=win[g,d]+l, d-x) of
+    read r)."""
     from ..constants import PAIR_ALIGNMENT_PROB_1
     posts = np.asarray(out["posteriors"])
-    g, r = divmod(read_idx, 8)
-    band = out["prep"]["bands"][read_idx]
+    prep = out["prep"]
+    R = prep["R"]
+    win = prep["win"]
+    g, r = divmod(read_idx, R)
+    band = prep["bands"][read_idx]
     pairs = []
     sub = posts[g, : band.n_diag + 1, r]
-    d_idx, x_idx = np.nonzero(sub >= threshold)
-    for d, x in zip(d_idx, x_idx):
-        p = min(float(sub[d, x]), 1.0)
+    d_idx, l_idx = np.nonzero(sub >= threshold)
+    for d, l in zip(d_idx, l_idx):
+        p = min(float(sub[d, l]), 1.0)
+        x = int(win[g, d]) + int(l)
         pairs.append((int(np.floor(p * PAIR_ALIGNMENT_PROB_1)),
-                      int(x) - 1, int(d) - int(x) - 1))
+                      x - 1, int(d) - x - 1))
     return pairs
 
 
 def compact_posteriors(posts, k=4096):
     """Device-side sparsification: per read, top-k posterior cells over all
-    diagonals.  Shrinks the device->host transfer by ~100x (the posterior
-    tensor is huge but pairs above threshold are sparse).
+    diagonals of the windowed tensor.  Keeps the device->host transfer tiny
+    (essential on slow links) and the top-k cheap (W lanes, not X).
 
-    posts: [G, ND+1, 8, X] -> (values [G, 8, k], flat_idx [G, 8, k]) where
-    flat_idx encodes (d-1) * X + x (diagonal 0 is never emitted).
+    posts: [G, ND+1, R, W] -> (values [G, R, k], flat_idx [G, R, k]) where
+    flat_idx encodes (d-1) * W + l (diagonal 0 is never emitted).
     """
     import jax
     import jax.numpy as jnp
 
-    G, ND1, R, X = posts.shape
-    p = posts[:, 1:].transpose(0, 2, 1, 3).reshape(G, R, (ND1 - 1) * X)
+    G, ND1, R, W = posts.shape
+    p = posts[:, 1:].transpose(0, 2, 1, 3).reshape(G, R, (ND1 - 1) * W)
     vals, idx = jax.lax.top_k(p, k)
     return vals, idx
 
@@ -558,19 +685,23 @@ def compact_posteriors(posts, k=4096):
 _compact_jit = None
 
 
-def extract_pairs_compact(vals, idx, read_idx, n_diag, X, threshold):
-    """Host-side pair extraction from compacted (top-k) posteriors."""
+def extract_pairs_compact(vals, idx, read_idx, n_diag, prep, threshold):
+    """Host-side pair extraction from compacted (top-k) windowed
+    posteriors."""
     from ..constants import PAIR_ALIGNMENT_PROB_1
-    g, r = divmod(read_idx, 8)
+    R, W = prep["R"], prep["W"]
+    win = prep["win"]
+    g, r = divmod(read_idx, R)
     v = np.asarray(vals[g, r])
     ix = np.asarray(idx[g, r])
     keep = v >= threshold
     pairs = []
     for p, fi in zip(v[keep], ix[keep]):
-        d = int(fi) // X + 1
-        x = int(fi) % X
+        d = int(fi) // W + 1
+        l = int(fi) % W
         if d > n_diag:
             continue
+        x = int(win[g, d]) + l
         pairs.append((int(np.floor(min(float(p), 1.0) * PAIR_ALIGNMENT_PROB_1)),
                       x - 1, d - x - 1))
     return pairs

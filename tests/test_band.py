@@ -73,3 +73,20 @@ def test_band_x_layout_consistency():
             assert 0 <= x_lo <= x_hi
             assert x_hi <= min(d, l_x)
             assert d - x_lo <= l_y
+
+
+def test_vectorized_band_construct_matches_loop():
+    from cpecan_tpu.ops.band import _band_construct_loop
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        l_x = int(rng.integers(1, 120))
+        l_y = int(rng.integers(1, 120))
+        n_anchor = int(rng.integers(0, min(l_x, l_y)))
+        xs = np.sort(rng.choice(l_x, n_anchor, replace=False))
+        ys = np.sort(rng.choice(l_y, n_anchor, replace=False))
+        anchors = list(zip(xs.tolist(), ys.tolist()))
+        exp = int(rng.integers(0, 11)) * 2
+        want = _band_construct_loop(anchors, l_x, l_y, exp)
+        got = band_construct(anchors, l_x, l_y, exp)
+        np.testing.assert_array_equal(got[0], want[0], err_msg=str(trial))
+        np.testing.assert_array_equal(got[1], want[1], err_msg=str(trial))

@@ -110,5 +110,5 @@ def test_compact_extraction_matches_full(template_model, fixture_reads):
     for i in range(len(fixture_reads)):
         full = extract_pairs_from_pallas(out, i, params.threshold)
         comp = extract_pairs_compact(vals, idx, i, prep["bands"][i].n_diag,
-                                     prep["X"], params.threshold)
+                                     prep, params.threshold)
         assert sorted(full) == sorted(comp)
