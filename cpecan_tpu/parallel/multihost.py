@@ -1,0 +1,81 @@
+"""Multi-host orchestration: the jobTree/multiprocessing replacement.
+
+The reference distributes EM with jobTree targets and filesystem reduces
+(cPecanEm.py:164-210) and batch alignment with per-read process pools
+(scripts/signalAlign.py:101-141).  TPU-native replacement (SURVEY §2.9,
+§7.7): every host runs the same SPMD program — `jax.distributed.initialize`
+joins the hosts, a global mesh spans all chips, read batches shard over the
+('data',) axis (each host feeds its local shard), expectation accumulators
+reduce with psum over ICI/DCN inside the jitted step, and host 0 alone
+writes checkpoints and logs.
+"""
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Join the multi-host job.  No-op (returns False) when single-process:
+    without a coordinator address (argument or JAX_COORDINATOR_ADDRESS env)
+    this does nothing, so the same program runs unmodified on one host."""
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None and num_processes is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def is_primary():
+    """True on the checkpoint/log-writing host (host 0)."""
+    return jax.process_index() == 0
+
+
+def global_data_mesh():
+    """Mesh over every chip of every host, one 'data' axis."""
+    return Mesh(np.asarray(jax.devices()), ("data",))
+
+
+def local_shard_bounds(n_items):
+    """[start, stop) of this host's contiguous slice of an n_items batch,
+    proportional to its local device count."""
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    per = (n_items + n_proc - 1) // n_proc
+    start = min(pid * per, n_items)
+    return start, min(start + per, n_items)
+
+
+class MultiHostEmController:
+    """Thin controller for distributed signal-HMM EM.
+
+    Each host prepares its local read shard; the jitted sharded E-step
+    (parallel.mesh.sharded_align_fn with compute_expectations=True) runs on
+    the global mesh so the psum inside it reduces across every chip on
+    every host; the M-step normalization is replicated (identical on all
+    hosts — no broadcast needed); host 0 checkpoints.
+    """
+
+    def __init__(self, checkpoint_dir=None, log=print):
+        self.distributed = initialize_distributed()
+        self.mesh = global_data_mesh()
+        self.log = (log if is_primary() else (lambda *a, **k: None))
+        self.manager = None
+        if checkpoint_dir is not None and is_primary():
+            from ..utils.checkpoint import CheckpointManager
+            self.manager = CheckpointManager(checkpoint_dir)
+
+    def save(self, iteration, arrays, meta=None):
+        if self.manager is not None:
+            self.manager.save(iteration, arrays=arrays, meta=meta)
+
+    def restore(self):
+        if self.manager is not None:
+            return self.manager.restore()
+        return None
