@@ -109,13 +109,133 @@ def _col_select(row, idx):
     lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
     return jnp.sum(jnp.where(lane == idx, row, 0.0), axis=1, keepdims=True)
 
-# Transition scalar order for the strawman machine; start/end/ragged-end
-# vectors packed after (see StrawmanPallasAligner._scalars).
+def _inv_gauss(x, mu, lam):
+    """log inverse-Gaussian pdf (emissions_signal_logInvGaussPdf,
+    impl/stateMachine.c:323-332), all-finite with NEG guards."""
+    l_two_pi = 1.8378770664093453
+    bad = (x <= 0.0) | (lam <= 0.0) | (mu == 0.0)
+    sx = jnp.where(x > 0.0, x, 1.0)
+    smu = jnp.where(mu != 0.0, mu, 1.0)
+    slam = jnp.where(lam > 0.0, lam, 1.0)
+    a = (x - smu) / smu
+    out = (jnp.log(slam) - l_two_pi - 3.0 * jnp.log(sx)
+           - slam * a * a / sx) / 2.0
+    return jnp.where(bad, NEG, out)
+
+
+# ---------------------------------------------------------------------------
+# Machine specs: what differs between state-machine families inside the
+# shared wavefront kernels — emission formulas and the per-state transition
+# combines.  All are staticmethods traced into the kernel at lowering time.
+# Scalar layout: [NS machine scalars..., start(3), end(3), ragged_end(3)].
+# ---------------------------------------------------------------------------
+
+# strawman machine scalar order
 T_MM, T_XM, T_YM, T_OX, T_EX, T_SX, T_OY, T_EY = range(8)
-S_M, S_X, S_Y = 8, 9, 10
-E_M, E_X, E_Y = 11, 12, 13
-RE_M, RE_X, RE_Y = 14, 15, 16
-N_SCAL = 17
+
+
+class _StrawmanSpec:
+    """3-state strawman signal machine (stateMachine3_cellCalculate,
+    impl/stateMachine.c:1306-1335): global scalar transitions, gap-X
+    emission from a per-kmer table, Gaussian×Gaussian match emission."""
+
+    NS = 8    # machine scalars
+    NXF = 9   # x-feature rows
+
+    @staticmethod
+    def emissions(xf, mean, noise):
+        e_match = (_gauss(mean, xf[:, 0, :], xf[:, 1, :])
+                   + _gauss(noise, xf[:, 2, :], xf[:, 3, :]))
+        e_gapy = (_gauss(mean, xf[:, 4, :], xf[:, 5, :])
+                  + _gauss(noise, xf[:, 6, :], xf[:, 7, :]))
+        return e_match, e_gapy
+
+    @staticmethod
+    def fwd_update(t, xf, e_match, e_gapy, p1m, p1x, p1y, p2m, p2x, p2y):
+        e_gapx = xf[:, 8, :]
+        sm = _shift_right(p1m)
+        sx = _shift_right(p1x)
+        sy = _shift_right(p1y)
+        new_x = _log_add3(sm + t[T_OX], sx + t[T_EX], sy + t[T_SX]) + e_gapx
+        new_m = _log_add3(_shift_right(p2m) + t[T_MM],
+                          _shift_right(p2x) + t[T_XM],
+                          _shift_right(p2y) + t[T_YM]) + e_match
+        new_y = _log_add(p1m + t[T_OY], p1y + t[T_EY]) + e_gapy
+        return new_m, new_x, new_y
+
+    @staticmethod
+    def bwd_prelude(xf, t):
+        return ()
+
+    @staticmethod
+    def bwd_update(t, xf, pre, em1, eg1, em2, n1m, n1x, n1y, n2m):
+        e_gapx = xf[:, 8, :]
+        # middle (from d+2 at x+1, target M): uses next2[M]
+        mid = _shift_left(em2 + n2m)
+        bw_m = mid + t[T_MM]
+        bw_x = mid + t[T_XM]
+        bw_y = mid + t[T_YM]
+        # upper (from d+1 at same x, target shortGapY): uses next1[Y]
+        up = eg1 + n1y
+        bw_m = _log_add(bw_m, up + t[T_OY])
+        bw_y = _log_add(bw_y, up + t[T_EY])
+        # lower (from d+1 at x+1, target shortGapX): uses next1[X]
+        low = _shift_left(e_gapx + n1x)
+        bw_m = _log_add(bw_m, low + t[T_OX])
+        bw_x = _log_add(bw_x, low + t[T_EX])
+        bw_y = _log_add(bw_y, low + t[T_SX])
+        return bw_m, bw_x, bw_y
+
+
+# vanilla machine scalar order
+VA_YM, VA_YY = range(2)
+
+
+class _VanillaSpec:
+    """Nanopolish-style vanilla machine (stateMachine3Vanilla_cellCalculate,
+    impl/stateMachine.c:1368-1409): per-column transitions from kmer-skip
+    bins (x-feature rows 8-12: la_mx, la_xx, la_mm, la_xm, la_my), silent
+    kmer-skip gap-X (no emission), Gaussian×inverse-Gaussian emissions."""
+
+    NS = 2
+    NXF = 13
+
+    @staticmethod
+    def emissions(xf, mean, noise):
+        e_match = (_gauss(mean, xf[:, 0, :], xf[:, 1, :])
+                   + _inv_gauss(noise, xf[:, 2, :], xf[:, 3, :]))
+        e_gapy = (_gauss(mean, xf[:, 4, :], xf[:, 5, :])
+                  + _inv_gauss(noise, xf[:, 6, :], xf[:, 7, :]))
+        return e_match, e_gapy
+
+    @staticmethod
+    def fwd_update(t, xf, e_match, e_gapy, p1m, p1x, p1y, p2m, p2x, p2y):
+        la_mx, la_xx, la_mm, la_xm, la_my = (xf[:, i, :]
+                                             for i in range(8, 13))
+        new_x = _log_add(_shift_right(p1m) + la_mx,
+                         _shift_right(p1x) + la_xx)
+        new_m = _log_add3(_shift_right(p2m) + la_mm,
+                          _shift_right(p2x) + la_xm,
+                          _shift_right(p2y) + t[VA_YM]) + e_match
+        new_y = _log_add(p1m + la_my, p1y + t[VA_YY]) + e_gapy
+        return new_m, new_x, new_y
+
+    @staticmethod
+    def bwd_prelude(xf, t):
+        # target-x transitions shifted once into the source-x frame
+        return tuple(_shift_left(xf[:, i, :]) for i in (8, 9, 10, 11))
+
+    @staticmethod
+    def bwd_update(t, xf, pre, em1, eg1, em2, n1m, n1x, n1y, n2m):
+        la_mx_s, la_xx_s, la_mm_s, la_xm_s = pre
+        la_my = xf[:, 12, :]
+        mid = _shift_left(em2 + n2m)
+        up = eg1 + n1y
+        low = _shift_left(n1x)  # silent gap-X: no emission on lower
+        bw_m = _log_add3(mid + la_mm_s, low + la_mx_s, up + la_my)
+        bw_x = _log_add(mid + la_xm_s, low + la_xx_s)
+        bw_y = _log_add(mid + t[VA_YM], up + t[VA_YY])
+        return bw_m, bw_x, bw_y
 
 
 def _window_out(v, w0, X, W):
@@ -126,15 +246,16 @@ def _window_out(v, w0, X, W):
 
 
 def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, out_ref, sem,
-                        scratch, *, X, ND, C, R, W):
+                        scratch, *, X, ND, C, R, W, spec):
     """One group of R reads: full forward pass over ND diagonals.  Each
     diagonal is streamed to HBM band-locally as an [3, R, W] window at the
     group window start winf[0, 0, d] (band ⊆ window by construction), which
-    keeps the forward tensor and its DMA X/W times smaller."""
+    keeps the forward tensor and its DMA X/W times smaller.  The emission
+    formulas and transition combines come from the machine `spec`."""
     g = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, X), 1).astype(jnp.float32)
-    e_gapx = xf[:, 8, :]
-    t = [scal[0, i] for i in range(N_SCAL)]
+    t = [scal[0, i] for i in range(spec.NS + 9)]
+    S_M = spec.NS
 
     base_rows = basef[:, :]
     width_rows = widthf[:, :]
@@ -147,8 +268,8 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, out_ref, sem,
     m0 = band_mask(0)
     zeros = jnp.zeros((R, X), jnp.float32) + 0.0 * lane
     prev1_m = jnp.where(m0, zeros + t[S_M], NEG)
-    prev1_x = jnp.where(m0, zeros + t[S_X], NEG)
-    prev1_y = jnp.where(m0, zeros + t[S_Y], NEG)
+    prev1_x = jnp.where(m0, zeros + t[S_M + 1], NEG)
+    prev1_y = jnp.where(m0, zeros + t[S_M + 2], NEG)
     neg = jnp.full((R, X), NEG, jnp.float32) + 0.0 * lane
 
     w0 = winf[0, 0, 0]
@@ -161,20 +282,11 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, out_ref, sem,
         p1m, p1x, p1y, p2m, p2x, p2y = carry
         mean = _dyn_lane_slice(yf, 0, C - d, X)
         noise = _dyn_lane_slice(yf, 1, C - d, X)
-        e_match = (_gauss(mean, xf[:, 0, :], xf[:, 1, :])
-                   + _gauss(noise, xf[:, 2, :], xf[:, 3, :]))
-        e_gapy = (_gauss(mean, xf[:, 4, :], xf[:, 5, :])
-                  + _gauss(noise, xf[:, 6, :], xf[:, 7, :]))
+        e_match, e_gapy = spec.emissions(xf, mean, noise)
 
         # lower: prev1[x-1]; middle: prev2[x-1]; upper: prev1[x]
-        sm = _shift_right(p1m)
-        sx = _shift_right(p1x)
-        sy = _shift_right(p1y)
-        new_x = _log_add3(sm + t[T_OX], sx + t[T_EX], sy + t[T_SX]) + e_gapx
-        new_m = _log_add3(_shift_right(p2m) + t[T_MM],
-                          _shift_right(p2x) + t[T_XM],
-                          _shift_right(p2y) + t[T_YM]) + e_match
-        new_y = _log_add(p1m + t[T_OY], p1y + t[T_EY]) + e_gapy
+        new_m, new_x, new_y = spec.fwd_update(t, xf, e_match, e_gapy,
+                                              p1m, p1x, p1y, p2m, p2x, p2y)
 
         mask = band_mask(d)
         new_m = jnp.where(mask, new_m, NEG)
@@ -214,7 +326,7 @@ def _masked_lse(v, mask):
 
 def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                          fwd_ref, post_ref, tot_ref, sems, fscratch,
-                         pscratch, *, X, ND, C, R, W):
+                         pscratch, *, X, ND, C, R, W, spec):
     """Full backward sweep d = ND..1 with per-read end seeding.
 
     The fast path decodes posteriors from the exact full backward pass
@@ -230,8 +342,10 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     """
     g = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, X), 1).astype(jnp.float32)
-    e_gapx = xf[:, 8, :]
-    t = [scal[0, i] for i in range(N_SCAL)]
+    t = [scal[0, i] for i in range(spec.NS + 9)]
+    E_M = spec.NS + 3
+    RE_M = spec.NS + 6
+    pre = spec.bwd_prelude(xf, t)
 
     base_rows = basef[:, :]
     width_rows = widthf[:, :]
@@ -246,11 +360,7 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     def emissions(d):
         mean = _dyn_lane_slice(yf, 0, C - d, X)
         noise = _dyn_lane_slice(yf, 1, C - d, X)
-        e_match = (_gauss(mean, xf[:, 0, :], xf[:, 1, :])
-                   + _gauss(noise, xf[:, 2, :], xf[:, 3, :]))
-        e_gapy = (_gauss(mean, xf[:, 4, :], xf[:, 5, :])
-                  + _gauss(noise, xf[:, 6, :], xf[:, 7, :]))
-        return e_match, e_gapy
+        return spec.emissions(xf, mean, noise)
 
     # 0*iota forces a non-replicated layout so the fori_loop carry
     # unifies with the computed (non-replicated) updates.
@@ -287,20 +397,8 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         em1, eg1 = emissions(d + 1)
         em2, _ = emissions(d + 2)
 
-        # middle (from d+2 at x+1, target M): uses next2[M]
-        mid = _shift_left(em2 + n2m)
-        bw_m = mid + t[T_MM]
-        bw_x = mid + t[T_XM]
-        bw_y = mid + t[T_YM]
-        # upper (from d+1 at same x, target shortGapY): uses next1[Y]
-        up = eg1 + n1y
-        bw_m = _log_add(bw_m, up + t[T_OY])
-        bw_y = _log_add(bw_y, up + t[T_EY])
-        # lower (from d+1 at x+1, target shortGapX): uses next1[X]
-        low = _shift_left(e_gapx + n1x)
-        bw_m = _log_add(bw_m, low + t[T_OX])
-        bw_x = _log_add(bw_x, low + t[T_EX])
-        bw_y = _log_add(bw_y, low + t[T_SX])
+        bw_m, bw_x, bw_y = spec.bwd_update(t, xf, pre, em1, eg1, em2,
+                                           n1m, n1x, n1y, n2m)
 
         mask = band(d)
         nmask = jnp.logical_not(mask)
@@ -309,8 +407,8 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         bw_y = jnp.where(nmask, NEG, bw_y)
 
         init_m = t[E_M] * (1.0 - ra) + t[RE_M] * ra
-        init_x = t[E_X] * (1.0 - ra) + t[RE_X] * ra
-        init_y = t[E_Y] * (1.0 - ra) + t[RE_Y] * ra
+        init_x = t[E_M + 1] * (1.0 - ra) + t[RE_M + 1] * ra
+        init_y = t[E_M + 2] * (1.0 - ra) + t[RE_M + 2] * ra
         seed_in = sa * mask.astype(jnp.float32)   # [R,X] exact 0/1
         bw_m = bw_m * (1.0 - seed_in) + init_m * seed_in
         bw_x = bw_x * (1.0 - seed_in) + init_x * seed_in
@@ -381,14 +479,18 @@ def _round_up(v, m):
     return ((v + m - 1) // m) * m
 
 
-class StrawmanPallasAligner:
-    """Group-of-R batched banded forward/backward for the strawman machine.
+class _PallasAlignerBase:
+    """Group-of-R batched banded forward/backward over the wavefront
+    kernels, parameterized by a machine spec (emissions + transition
+    combines) and per-machine device feature assembly.
 
     Fast path: exact full backward (no traceback windowing), f32, posteriors
     emitted as band-local [R, W] windows per diagonal.  R (reads per kernel
-    instance) amortizes the per-diagonal fixed costs; 32 is the TPU sweet
-    spot, 8 keeps CPU interpret-mode tests cheap.
+    instance) amortizes the per-diagonal fixed costs; 8 is the measured
+    sweet spot on v5e and keeps CPU interpret-mode tests cheap.
     """
+
+    spec = None  # subclass: machine spec class
 
     def __init__(self, params=None, interpret=False, group=8):
         from ..align import AlignmentParams
@@ -396,6 +498,25 @@ class StrawmanPallasAligner:
         self.interpret = interpret
         self.group = group
         self._cache = {}
+
+    # subclass hooks -----------------------------------------------------
+    def _scalars(self, sm):
+        raise NotImplementedError
+
+    def _feature_inputs(self, reads, X):
+        """dict of compact host arrays merged into prep."""
+        raise NotImplementedError
+
+    def _device_features(self, sm, prep):
+        """(xf [Bp, NXF, X], yf [Bp, 2, C+X+256]) on device."""
+        raise NotImplementedError
+
+
+class StrawmanPallasAligner(_PallasAlignerBase):
+    """3-state strawman signal machine (getStrawManStateMachine3) on the
+    wavefront kernels."""
+
+    spec = _StrawmanSpec
 
     def _scalars(self, sm):
         p = sm.p
@@ -410,11 +531,17 @@ class StrawmanPallasAligner:
         arr = np.nan_to_num(arr, neginf=NEG)
         return np.maximum(arr, NEG).astype(np.float32)
 
+    def _device_features(self, sm, prep):
+        mm, gm, gapx = self._model_tables(sm)
+        return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256)(
+            jax.device_put(prep["kx"]), jax.device_put(prep["ev"]),
+            mm, gm, gapx)
+
     def _feature_inputs(self, reads, X):
         """Compact per-read inputs for on-device feature assembly: kmer
         indices [B, X] int16 and events [B, maxev+1, 2] f32.  Keeping the
         upload small matters — the host->device link is the slow resource,
-        so the [B, 9, X] gathers happen on the TPU (_assemble_features)."""
+        so the [B, 9, X] gathers happen on the TPU (_assemble_fn)."""
         from ..constants import N_SENTINEL
         from ..models import kmers as K
 
@@ -426,7 +553,7 @@ class StrawmanPallasAligner:
             ki = K.seq_to_kmer_indices(ref)
             kx[r, 1:1 + len(ki)] = ki
             ev[r, 1:1 + len(events), :] = events[:, :2]
-        return kx, ev
+        return dict(kx=kx, ev=ev)
 
     def _assemble_fn(self, C, Y):
         """Jitted on-device feature assembly (cached per (C, Y) shape)."""
@@ -484,7 +611,7 @@ class StrawmanPallasAligner:
         C = ND + 3
         NDp = _round_up(ND + 3, 128) + 128
 
-        kx, ev = self._feature_inputs(reads + [reads[-1]] * (Bp - B), X)
+        finputs = self._feature_inputs(reads + [reads[-1]] * (Bp - B), X)
         basef = np.zeros((Bp, NDp), np.float32)
         widthf = np.zeros((Bp, NDp), np.float32)
         seedf = np.zeros((Bp, NDp), np.float32)
@@ -524,7 +651,7 @@ class StrawmanPallasAligner:
             win[g] = np.clip(lo.astype(np.int64), 0, X - W)
         # band arrays ship as int16/uint8 (values < 2^15) and widen to f32
         # on device — upload bandwidth is the scarce resource
-        return dict(kx=kx, ev=ev, basef=basef.astype(np.int16),
+        return dict(**finputs, basef=basef.astype(np.int16),
                     widthf=widthf.astype(np.int16),
                     seedf=seedf.astype(np.uint8),
                     raggedf=raggedf.astype(np.uint8),
@@ -545,10 +672,7 @@ class StrawmanPallasAligner:
         fwd_fn, bwd_fn = self._fns(X, ND, C, W)
         # features assemble on device from compact uploads (kmer indices +
         # events + once-per-model tables) — the upload link is slow
-        mm, gm, gapx = self._model_tables(sm)
-        xf, yf = self._assemble_fn(C, C + X + 256)(
-            jax.device_put(prep["kx"]), jax.device_put(prep["ev"]),
-            mm, gm, gapx)
+        xf, yf = self._device_features(sm, prep)
         basef, widthf, seedf, raggedf = self._widen_fn()(
             jax.device_put(prep["basef"]), jax.device_put(prep["widthf"]),
             jax.device_put(prep["seedf"]), jax.device_put(prep["raggedf"]))
@@ -565,15 +689,15 @@ class StrawmanPallasAligner:
                     prep=prep)
 
     def _fns(self, X, ND, C, W):
-        key = (X, ND, C, W, self.group)
+        key = (X, ND, C, W, self.group, self.spec.__name__)
         if key in self._cache:
             return self._cache[key]
 
         R = self.group
         fwd_kernel = functools.partial(_sm3_forward_kernel, X=X, ND=ND, C=C,
-                                       R=R, W=W)
+                                       R=R, W=W, spec=self.spec)
         bwd_kernel = functools.partial(_sm3_backward_kernel, X=X, ND=ND, C=C,
-                                       R=R, W=W)
+                                       R=R, W=W, spec=self.spec)
         NDp = _round_up(ND + 3, 128) + 128
 
         vspec = lambda shape: pl.BlockSpec(
@@ -581,9 +705,9 @@ class StrawmanPallasAligner:
             memory_space=pltpu.VMEM)
 
         common_in = [
-            pl.BlockSpec((1, N_SCAL), lambda g: (0, 0),
+            pl.BlockSpec((1, self.spec.NS + 9), lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
-            vspec((R, 9, X)),
+            vspec((R, self.spec.NXF, X)),
             vspec((R, 2, C + X + 256)),
             vspec((R, NDp)),
             vspec((R, NDp)),
@@ -641,6 +765,113 @@ class StrawmanPallasAligner:
         fns = (jax.jit(fwd), jax.jit(bwd))
         self._cache[key] = fns
         return fns
+
+
+class VanillaPallasAligner(StrawmanPallasAligner):
+    """Nanopolish-style vanilla machine (getSignalStateMachine3Vanilla) on
+    the same wavefront kernels: transitions become x-feature rows derived
+    from kmer-skip bins, assembled on device from compact bin/kmer uploads
+    (StateMachine3Vanilla.build, models/state_machines.py)."""
+
+    spec = _VanillaSpec
+
+    def _scalars(self, sm):
+        a_yy = sm.t_e_to_e
+        a_ym = 1.0 - a_yy
+        vals = [np.log(a_ym), np.log(a_yy)]
+        start = sm.start_vec()
+        end = sm.end_vec()
+        ragged_end = sm.ragged_end_vec()
+        arr = np.array([vals + start + end + ragged_end], dtype=np.float64)
+        arr = np.nan_to_num(arr, neginf=NEG)
+        return np.maximum(arr, NEG).astype(np.float32)
+
+    def _feature_inputs(self, reads, X):
+        """Two kmer-index arrays per read (getKmer2 position and its
+        successor — the skip-bin pair, StateMachine3Vanilla.x_skip_bins)
+        plus events; skip bins and transitions derive from them on device."""
+        from ..constants import N_SENTINEL
+        from ..models.state_machines import (_getkmer2_positions,
+                                             _kmer_idx_at)
+
+        B = len(reads)
+        kxp = np.full((B, X), N_SENTINEL, dtype=np.int16)
+        kxn = np.full((B, X), N_SENTINEL, dtype=np.int16)
+        max_ev = max(r[1].shape[0] for r in reads)
+        ev = np.zeros((B, max_ev + 1, 2), np.float32)
+        for r, (ref, events, l_x, _l_y, _a) in enumerate(reads):
+            pos = _getkmer2_positions(l_x)
+            kxp[r, : l_x + 1] = _kmer_idx_at(ref, pos)
+            kxn[r, : l_x + 1] = _kmer_idx_at(ref, pos + 1)
+            ev[r, 1:1 + len(events), :] = events[:, :2]
+        return dict(kxp=kxp, kxn=kxn, ev=ev)
+
+    def _model_tables(self, sm):
+        from ..io.poremodel import (LEVEL_MEAN, LEVEL_SD, NOISE_MEAN,
+                                    NOISE_LAMBDA)
+        key = ("model", id(sm))
+        if key not in self._cache:
+            cols = [LEVEL_MEAN, LEVEL_SD, NOISE_MEAN, NOISE_LAMBDA]
+            self._cache[key] = (
+                jax.device_put(np.asarray(sm.model.match_model[:, cols],
+                                          np.float32)),
+                jax.device_put(np.asarray(sm.model.gap_y_model[:, cols],
+                                          np.float32)),
+                jax.device_put(np.asarray(sm.skip_bin_probs, np.float32)),
+            )
+        return self._cache[key]
+
+    def _assemble_fn(self, C, Y):
+        key = ("asm", C, Y)
+        if key in self._cache:
+            return self._cache[key]
+        from ..constants import NUM_OF_KMERS
+
+        def assemble(kxp, kxn, ev, mm4, gm4, skip60, t_m2y):
+            kx = kxn.astype(jnp.int32)
+            valid = kx <= NUM_OF_KMERS
+            safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
+            rows = [jnp.where(valid, mm4[safe, c], 0.0) for c in range(4)]
+            rows += [jnp.where(valid, gm4[safe, c], 0.0) for c in range(4)]
+
+            # skip bins from |Δ level mean| in 0.5 pA steps, clamped to 29
+            # (emissions_signal_getKmerSkipBin, impl/stateMachine.c:389-420)
+            def level_mean(idx):
+                idx = idx.astype(jnp.int32)
+                m = mm4[jnp.clip(idx, 0, NUM_OF_KMERS - 1), 0]
+                return jnp.where(idx > NUM_OF_KMERS, 0.0, m)
+
+            d = jnp.abs(level_mean(kxn) - level_mean(kxp))
+            b = jnp.minimum((d / 0.5).astype(jnp.int32), 29)
+            a_mx = skip60[b]
+            a_xx = skip60[b + 30]
+            a_my = (1.0 - a_mx) * t_m2y
+            a_mm = 1.0 - a_my - a_mx
+            a_xm = 1.0 - a_xx
+
+            def la(a):
+                return jnp.where(valid & (a > 0.0),
+                                 jnp.log(jnp.maximum(a, 1e-37)), NEG)
+
+            rows += [la(a_mx), la(a_xx), la(a_mm), la(a_xm), la(a_my)]
+            xf = jnp.stack(rows, axis=1).astype(jnp.float32)
+            B, E, _ = ev.shape
+            n = min(E, C + 1)
+            yf = jnp.zeros((B, 2, Y), jnp.float32)
+            yf = yf.at[:, 0, C - n + 1:C + 1].set(ev[:, :n, 0][:, ::-1])
+            yf = yf.at[:, 1, C - n + 1:C + 1].set(ev[:, :n, 1][:, ::-1])
+            return xf, yf
+
+        fn = jax.jit(assemble, static_argnums=())
+        self._cache[key] = fn
+        return fn
+
+    def _device_features(self, sm, prep):
+        mm4, gm4, skip60 = self._model_tables(sm)
+        return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256)(
+            jax.device_put(prep["kxp"]), jax.device_put(prep["kxn"]),
+            jax.device_put(prep["ev"]), mm4, gm4, skip60,
+            np.float32(sm.t_m_to_y_not_x))
 
 
 def extract_pairs_from_pallas(out, read_idx, threshold):

@@ -112,3 +112,26 @@ def test_compact_extraction_matches_full(template_model, fixture_reads):
         comp = extract_pairs_compact(vals, idx, i, prep["bands"][i].n_diag,
                                      prep, params.threshold)
         assert sorted(full) == sorted(comp)
+
+
+def test_vanilla_pallas_matches_engine_pairs(template_model, fixture_reads):
+    from cpecan_tpu.models.state_machines import StateMachine3Vanilla
+    from cpecan_tpu.ops.pallas_fb import VanillaPallasAligner
+
+    sm = StateMachine3Vanilla(template_model)
+    params = AlignmentParams()
+    pa = VanillaPallasAligner(params, interpret=True)
+    out = pa.run(sm, fixture_reads)
+    for i, (ref, events, l_x, l_y, anchors) in enumerate(fixture_reads):
+        want = _engine_single_window(sm, ref, events, l_x, l_y, anchors,
+                                     params)
+        got = extract_pairs_from_pallas(out, i, params.threshold)
+        want_set = {(x, y) for _, x, y in want}
+        got_set = {(x, y) for _, x, y in got}
+        # f32 kernel vs f64 engine: allow a tiny decision fringe
+        assert len(got_set ^ want_set) <= 1, (i, got_set ^ want_set)
+        assert len(got_set & want_set) >= 0.98 * len(want_set)
+        ws = {(x, y): s for s, x, y in want}
+        for s, x, y in got:
+            if (x, y) in ws:
+                assert abs(s - ws[(x, y)]) <= 20000, (x, y, s, ws[(x, y)])
