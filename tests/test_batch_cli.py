@@ -1,0 +1,96 @@
+"""Batch-driver CLI tests (signalAlign.py / trainModels.py / cPecanEm.py
+equivalents)."""
+
+import os
+import random
+import shutil
+
+import pytest
+
+from cpecan_tpu.cli.batch import (em_main, signal_align_batch_main,
+                                  train_models_main)
+
+REF = "/root/reference/tests/test_npReads/ZymoRef.txt"
+NPREAD = "/root/reference/tests/test_npReads/ZymoC_ch_1_file1.npRead"
+TMODEL = "/root/reference/models/template_median68pA.model"
+CMODEL = "/root/reference/models/complement_median68pA_pop2.model"
+
+
+def test_em_cli(tmp_path):
+    rng = random.Random(9)
+    seq_x = "".join(rng.choice("ACGT") for _ in range(150))
+    seq_y = "".join(c if rng.random() > 0.12 else rng.choice("ACGT")
+                    for c in seq_x)
+    (tmp_path / "seqs.fa").write_text(f">s1\n{seq_x}\n>s2\n{seq_y}\n")
+    (tmp_path / "alns.cig").write_text(
+        f"cigar: s2 0 {len(seq_y)} + s1 0 {len(seq_x)} + 0 M {len(seq_x)}\n")
+    model = tmp_path / "model.hmm"
+    matrix = tmp_path / "matrix.txt"
+    assert em_main(["--sequences", str(tmp_path / "seqs.fa"),
+                    "--alignments", str(tmp_path / "alns.cig"),
+                    "--outputModel", str(model),
+                    "--iterations", "2", "--trainEmissions",
+                    "--outputLastzScoringMatrix", str(matrix)]) == 0
+    from cpecan_tpu.pipeline.em import PipelineHmm
+    hmm = PipelineHmm.load(str(model))
+    assert hmm.likelihood != 0.0
+    assert "gap_open_penalty" in matrix.read_text()
+
+
+def test_em_cli_checkpoint_resume(tmp_path):
+    rng = random.Random(3)
+    seq_x = "".join(rng.choice("ACGT") for _ in range(100))
+    (tmp_path / "seqs.fa").write_text(f">s1\n{seq_x}\n>s2\n{seq_x}\n")
+    (tmp_path / "alns.cig").write_text(
+        f"cigar: s2 0 {len(seq_x)} + s1 0 {len(seq_x)} + 0 M {len(seq_x)}\n")
+    common = ["--sequences", str(tmp_path / "seqs.fa"),
+              "--alignments", str(tmp_path / "alns.cig"),
+              "--outputModel", str(tmp_path / "m.hmm"),
+              "--checkpoint_dir", str(tmp_path / "ckpt")]
+    assert em_main(common + ["--iterations", "1"]) == 0
+    assert em_main(common + ["--iterations", "2", "--resume"]) == 0
+    assert os.path.exists(tmp_path / "ckpt" / "ckpt_00000001.npz")
+
+
+def _zymo_guides(tmp_path, zymo_reference_seq, zymo_npread):
+    from tests.test_signal_cli import _guide_cigar
+    return _guide_cigar(tmp_path, zymo_reference_seq, zymo_npread)
+
+
+@pytest.mark.slow
+def test_signal_align_batch_cli(tmp_path, zymo_reference_seq, zymo_npread):
+    guide = _zymo_guides(tmp_path, zymo_reference_seq, zymo_npread)
+    reads = tmp_path / "reads"
+    reads.mkdir()
+    # the guide's query name keys the read file
+    qname = guide.split()[1]
+    shutil.copy(NPREAD, reads / f"{qname}.npRead")
+    (tmp_path / "guides.cig").write_text(guide + "\n")
+    out = tmp_path / "out"
+    rc = signal_align_batch_main(
+        ["-d", str(reads), "-r", REF, "-o", str(out),
+         "-smt", "threeState", "--guides", str(tmp_path / "guides.cig")])
+    assert rc == 0
+    tsvs = [f for f in os.listdir(out) if f.endswith(".tsv")]
+    assert tsvs
+    rows = (out / tsvs[0]).read_text().splitlines()
+    assert len(rows) > 100
+
+
+@pytest.mark.slow
+def test_train_models_cli(tmp_path, zymo_reference_seq, zymo_npread):
+    guide = _zymo_guides(tmp_path, zymo_reference_seq, zymo_npread)
+    reads = tmp_path / "reads"
+    reads.mkdir()
+    qname = guide.split()[1]
+    shutil.copy(NPREAD, reads / f"{qname}.npRead")
+    (tmp_path / "guides.cig").write_text(guide + "\n")
+    out = tmp_path / "out"
+    rc = train_models_main(
+        ["-d", str(reads), "-r", REF, "-o", str(out), "-i", "2",
+         "-T", TMODEL, "-C", CMODEL,
+         "--guides", str(tmp_path / "guides.cig"),
+         "--checkpoint_dir", str(out / "ckpt")])
+    assert rc == 0
+    assert (out / "template_trained.hmm").exists()
+    assert (out / "ckpt" / "ckpt_00000001.npz").exists()
