@@ -128,6 +128,30 @@ def twod_event_map(aln_seq, table, kmer_length):
     return np.array(t_map, dtype=np.int64), np.array(c_map, dtype=np.int64)
 
 
+def strand_event_map(moves, probs, kmer_length=6):
+    """1D ('strand') kmer->event map from per-event basecaller moves
+    (scripts/nanoporeLib.py:394-421): move==1 appends the event, move>1
+    back-fills the skipped positions with the previous event then appends,
+    move==0 replaces the last mapping when the new event's model
+    probability is higher.  Padded with kmer_length-1 copies of the final
+    event (the reference hardcodes 5)."""
+    event_map = [0]
+    previous_prob = 0.0
+    for i in range(1, len(moves)):
+        move = int(moves[i])
+        this_prob = float(probs[i])
+        if move == 1:
+            event_map.append(i)
+        elif move > 1:
+            event_map.extend([i - 1] * (move - 1))
+            event_map.append(i)
+        elif this_prob > previous_prob:
+            event_map[-1] = i
+        previous_prob = this_prob
+    event_map.extend([event_map[-1]] * (kmer_length - 1))
+    return np.array(event_map, dtype=np.int64)
+
+
 def transform_events(events, drift):
     """Drift-correct event means in place of the reference's per-event loop
     (scripts/nanoporeLib.py:516-531): mean -= (start - start[0]) * drift.

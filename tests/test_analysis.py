@@ -107,3 +107,26 @@ def test_duration_skips_unreadable(tmp_path):
                                 log=msgs.append)
     assert n == 0
     assert any("skipping" in m for m in msgs)
+
+
+def test_legacy_emission_matrix():
+    """First rows of the 2-mer match matrix vs the reference's
+    code-generated constants (impl/emissionMatrix.c:23-26)."""
+    from cpecan_tpu.models.emission_matrix import (M, N, S, V,
+                                                   kmer_gap_probs,
+                                                   kmer_match_probs,
+                                                   kmer_strings)
+    mat = kmer_match_probs(2)
+    assert mat.shape == (25, 25)
+    want_row0 = [M+M, M+V, M+S, M+V, M+N, V+M, V+V, V+S, V+V, V+N,
+                 S+M, S+V, S+S, S+V, S+N, V+M, V+V, V+S, V+V, V+N,
+                 N+M, N+V, N+S, N+V, N+N]
+    np.testing.assert_allclose(mat[0], want_row0, rtol=1e-12)
+    want_row1 = [M+V, M+M, M+V, M+S, M+N, V+V, V+M, V+V, V+S, V+N,
+                 S+V, S+M, S+V, S+S, S+N, V+V, V+M, V+V, V+S, V+N,
+                 N+V, N+M, N+V, N+S, N+N]
+    np.testing.assert_allclose(mat[1], want_row1, rtol=1e-12)
+    np.testing.assert_allclose(mat, mat.T)  # symmetric
+    gaps = kmer_gap_probs(2)
+    np.testing.assert_allclose(gaps, -3.2188758248682006, rtol=1e-12)
+    assert kmer_strings(2)[:3] == ["AA", "AC", "AG"]

@@ -205,3 +205,13 @@ def test_write_npread_reverses_complement_map(tmp_path):
     lines = buf.getvalue().splitlines()
     assert lines[2].split() == ["0", "1", "1"]
     assert lines[4].split() == ["0", "0", "1"]  # reversed
+
+
+def test_strand_event_map():
+    from cpecan_tpu.io.fast5 import strand_event_map
+    moves = [0, 1, 0, 2, 1, 0]
+    probs = [0.5, 0.5, 0.9, 0.5, 0.5, 0.1]
+    m = strand_event_map(moves, probs, kmer_length=3)
+    # event 2 (move 0, higher prob) replaces event 1's mapping; move 2
+    # back-fills one position with the previous event
+    assert m.tolist() == [0, 2, 2, 3, 4, 4, 4]
