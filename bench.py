@@ -7,7 +7,7 @@ Workload: a batch of Zymo-scale nanopore signal alignments (each ~900 ref
 strawman 3-state posterior engine — the reference's headline workload
 (vanillaAlign per read, SURVEY §3.2).
 
-Path: the Pallas wavefront kernel (fwd + bwd fused scans, 16 reads per
+Path: the Pallas wavefront kernel (fwd + bwd fused scans, 8 reads per
 kernel instance on sublanes, x dense on lanes), band-local windowed
 posterior/forward streaming, on-device feature assembly from compact
 uploads, and on-device top-k posterior compaction; timing includes host
@@ -40,7 +40,7 @@ def main():
     batch = 256
     sm, reads = _synthetic_batch(n_reads=batch, n_ref=905, n_events=800,
                                  seed=7)
-    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=16)
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=8)
 
     def run():
         out = pa.run(sm, reads, compact_k=2048)

@@ -109,6 +109,19 @@ def _col_select(row, idx):
     lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
     return jnp.sum(jnp.where(lane == idx, row, 0.0), axis=1, keepdims=True)
 
+
+def _col_select_ref(ref, idx):
+    """Column idx of a [R, L] VMEM ref as a lane-replicated [R, 1].
+
+    Loads only the 128-lane page containing the column (aligned dynamic
+    load) before the onehot reduction — one vreg of work per call instead
+    of L/128."""
+    aligned = pl.multiple_of((idx // 128) * 128, 128)
+    page = ref[:, pl.ds(aligned, 128)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, page.shape, 1)
+    return jnp.sum(jnp.where(lane == idx - aligned, page, 0.0), axis=1,
+                   keepdims=True)
+
 def _inv_gauss(x, mu, lam):
     """log inverse-Gaussian pdf (emissions_signal_logInvGaussPdf,
     impl/stateMachine.c:323-332), all-finite with NEG guards."""
@@ -257,12 +270,9 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, out_ref, sem,
     t = [scal[0, i] for i in range(spec.NS + 9)]
     S_M = spec.NS
 
-    base_rows = basef[:, :]
-    width_rows = widthf[:, :]
-
     def band_mask(d):
-        base = _col_select(base_rows, d)
-        width = _col_select(width_rows, d)
+        base = _col_select_ref(basef, d)
+        width = _col_select_ref(widthf, d)
         return (lane >= base) & (lane < base + width)
 
     m0 = band_mask(0)
@@ -347,14 +357,9 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     RE_M = spec.NS + 6
     pre = spec.bwd_prelude(xf, t)
 
-    base_rows = basef[:, :]
-    width_rows = widthf[:, :]
-    seed_rows = seedf[:, :]
-    ragged_rows = raggedf[:, :]
-
     def band(d):
-        base = _col_select(base_rows, d)
-        width = _col_select(width_rows, d)
+        base = _col_select_ref(basef, d)
+        width = _col_select_ref(widthf, d)
         return (lane >= base) & (lane < base + width)
 
     def emissions(d):
@@ -377,13 +382,15 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     start_fetch(ND, 0)
 
     def step(s, carry):
-        n1m, n1x, n1y, n2m, total = carry
+        # em2/eg2 carry emissions(d+2): this step's d+2 was the previous
+        # step's d+1, so only emissions(d+1) is computed fresh per step
+        n1m, n1x, n1y, n2m, total, em2, _eg2 = carry
         d = ND - s
         # per-read seed/ragged flags as exact 0/1 columns (lane-replicated
         # reduction outputs); applied arithmetically — selects with [R,1]
         # predicates trip Mosaic layout unification.
-        sa = _col_select(seed_rows, d)       # 0.0 or 1.0
-        ra = _col_select(ragged_rows, d)
+        sa = _col_select_ref(seedf, d)       # 0.0 or 1.0
+        ra = _col_select_ref(raggedf, d)
         keep = 1.0 - sa
 
         def cut(v):
@@ -395,7 +402,6 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         n2m = cut(n2m)
 
         em1, eg1 = emissions(d + 1)
-        em2, _ = emissions(d + 2)
 
         bw_m, bw_x, bw_y = spec.bwd_update(t, xf, pre, em1, eg1, em2,
                                            n1m, n1x, n1y, n2m)
@@ -464,9 +470,11 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         pltpu.make_async_copy(pscratch.at[pslot], post_ref.at[g, d],
                               sems.at[pslot]).start()
 
-        return bw_m, bw_x, bw_y, n1m, total
+        return bw_m, bw_x, bw_y, n1m, total, em1, eg1
 
-    carry = (neg, neg, neg, neg, jnp.full((R, 1), NEG, jnp.float32))
+    em_init, eg_init = emissions(ND + 2)
+    carry = (neg, neg, neg, neg, jnp.full((R, 1), NEG, jnp.float32),
+             em_init + 0.0 * lane, eg_init + 0.0 * lane)
     carry = jax.lax.fori_loop(0, ND, step, carry)
     tot_ref[0] = carry[4] + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
     pltpu.make_async_copy(pscratch.at[(ND - 1) % 2], post_ref.at[g, 1],
