@@ -199,6 +199,42 @@ class _StrawmanSpec:
         bw_y = _log_add(bw_y, low + t[T_SX])
         return bw_m, bw_x, bw_y
 
+    # transition lane layout for the expectation accumulator: frm*3 + to
+    # (ContinuousPairHmm's [3,3] transition table order)
+    EXP_LANES = {"mm": 0, "ox": 1, "oy": 2, "xm": 3, "ex": 4,
+                 "ym": 6, "sx": 7, "ey": 8}
+
+    @staticmethod
+    def exp_probs(t, xf, em_t, eg_t, f0m, f0x, f0y, f1m, f1x, f1y,
+                  bw2m, bw2x, bw2y, total):
+        """Posterior transition probabilities into one target diagonal
+        (cell_signal_updateTransAndKmerSkipExpectations,
+        impl/pairwiseAligner.c:442-459): p = exp(fwd_src + transition +
+        emission + bwd_target - total).  Returns {name: [R, X]} keyed like
+        EXP_LANES, plus the gap-X sum for the per-kmer counters."""
+        def p(logp):
+            return jnp.exp(jnp.minimum(logp - total, 10.0))
+
+        e_gapx = xf[:, 8, :]
+        # middle: src (d, x-1) -> M at (d+2, x)
+        mid = em_t + bw2m
+        probs = {
+            "mm": p(_shift_right(f0m) + t[T_MM] + mid),
+            "xm": p(_shift_right(f0x) + t[T_XM] + mid),
+            "ym": p(_shift_right(f0y) + t[T_YM] + mid),
+        }
+        # lower: src (d+1, x-1) -> X at (d+2, x)
+        low = e_gapx + bw2x
+        probs["ox"] = p(_shift_right(f1m) + t[T_OX] + low)
+        probs["ex"] = p(_shift_right(f1x) + t[T_EX] + low)
+        probs["sx"] = p(_shift_right(f1y) + t[T_SX] + low)
+        # upper: src (d+1, x) -> Y at (d+2, x)
+        up = eg_t + bw2y
+        probs["oy"] = p(f1m + t[T_OY] + up)
+        probs["ey"] = p(f1y + t[T_EY] + up)
+        gapx_sum = probs["ox"] + probs["ex"] + probs["sx"]
+        return probs, gapx_sum
+
 
 # vanilla machine scalar order
 VA_YM, VA_YY = range(2)
@@ -335,8 +371,23 @@ def _masked_lse(v, mask):
 
 
 def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
-                         fwd_ref, post_ref, tot_ref, sems, fscratch,
-                         pscratch, *, X, ND, C, R, W, spec):
+                         fwd_ref, post_ref, tot_ref, *rest, X, ND, C, R, W,
+                         spec, with_exp=False):
+    if with_exp:
+        trans_ref, gapx_ref, sems, fscratch, pscratch = rest
+    else:
+        trans_ref = gapx_ref = None
+        sems, fscratch, pscratch = rest
+    return _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf,
+                              raggedf, fwd_ref, post_ref, tot_ref, trans_ref,
+                              gapx_ref, sems, fscratch, pscratch, X=X, ND=ND,
+                              C=C, R=R, W=W, spec=spec, with_exp=with_exp)
+
+
+def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
+                       fwd_ref, post_ref, tot_ref, trans_ref, gapx_ref,
+                       sems, fscratch, pscratch, *, X, ND, C, R, W, spec,
+                       with_exp):
     """Full backward sweep d = ND..1 with per-read end seeding.
 
     The fast path decodes posteriors from the exact full backward pass
@@ -381,10 +432,28 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
 
     start_fetch(ND, 0)
 
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+    def accumulate_exp(d_target, em_t, eg_t, f0m, f0x, f0y, f1m, f1x, f1y,
+                       bw2m, bw2x, bw2y, total, trans_c, gapx_acc):
+        """Posterior transition counts for one target diagonal, into the
+        per-transition lane accumulator and the per-column gap-X
+        accumulator (kmer scatter happens post-kernel)."""
+        probs, gapx_sum = spec.exp_probs(t, xf, em_t, eg_t, f0m, f0x, f0y,
+                                         f1m, f1x, f1y, bw2m, bw2x, bw2y,
+                                         total)
+        m = band(d_target).astype(jnp.float32)
+        for name, idx in spec.EXP_LANES.items():
+            tot = jnp.sum(probs[name] * m, axis=1, keepdims=True)
+            trans_c = trans_c + jnp.where(lane128 == idx, tot, 0.0)
+        gapx_acc = gapx_acc + gapx_sum * m
+        return trans_c, gapx_acc
+
     def step(s, carry):
         # em2/eg2 carry emissions(d+2): this step's d+2 was the previous
         # step's d+1, so only emissions(d+1) is computed fresh per step
-        n1m, n1x, n1y, n2m, total, em2, _eg2 = carry
+        (n1m, n1x, n1y, n2m, n2x, n2y, total, em2, eg2, f1m, f1x, f1y,
+         trans_c, gapx_acc) = carry
         d = ND - s
         # per-read seed/ragged flags as exact 0/1 columns (lane-replicated
         # reduction outputs); applied arithmetically — selects with [R,1]
@@ -400,6 +469,8 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         n1x = cut(n1x)
         n1y = cut(n1y)
         n2m = cut(n2m)
+        n2x = cut(n2x)
+        n2y = cut(n2y)
 
         em1, eg1 = emissions(d + 1)
 
@@ -449,6 +520,14 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
             _log_add3(f_m + bw_m, f_x + bw_x, f_y + bw_y), mask)
         total = total * keep + t0 * sa
 
+        if with_exp:
+            # expectations for target diagonal d+2: sources fwd[d] (middle)
+            # and fwd[d+1] (lower/upper, carried unpacked), target backward
+            # bwd[d+2] (carried)
+            trans_c, gapx_acc = accumulate_exp(
+                d + 2, em2, eg2, f_m, f_x, f_y, f1m, f1x, f1y,
+                n2m, n2x, n2y, total, trans_c, gapx_acc)
+
         # --- match posterior
         df = jnp.float32(d)
         ok = mask & (lane > 0) & (lane < df)
@@ -470,13 +549,52 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         pltpu.make_async_copy(pscratch.at[pslot], post_ref.at[g, d],
                               sems.at[pslot]).start()
 
-        return bw_m, bw_x, bw_y, n1m, total, em1, eg1
+        return (bw_m, bw_x, bw_y, n1m, n1x, n1y, total, em1, eg1,
+                f_m, f_x, f_y, trans_c, gapx_acc)
 
     em_init, eg_init = emissions(ND + 2)
-    carry = (neg, neg, neg, neg, jnp.full((R, 1), NEG, jnp.float32),
-             em_init + 0.0 * lane, eg_init + 0.0 * lane)
+    zero128 = jnp.zeros((R, 128), jnp.float32) + 0.0 * lane128.astype(
+        jnp.float32)
+    zeroX = jnp.zeros((R, X), jnp.float32) + 0.0 * lane
+    carry = (neg, neg, neg, neg, neg, neg,
+             jnp.full((R, 1), NEG, jnp.float32),
+             em_init + 0.0 * lane, eg_init + 0.0 * lane,
+             neg, neg, neg, zero128, zeroX)
     carry = jax.lax.fori_loop(0, ND, step, carry)
-    tot_ref[0] = carry[4] + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
+    (n1m, n1x, n1y, n2m, n2x, n2y, total, em2, eg2, f1m, f1x, f1y,
+     trans_c, gapx_acc) = carry
+    tot_ref[0] = total + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
+
+    if with_exp:
+        # epilogue: targets 2 and 1 (the loop covers targets 3..ND).
+        # After the loop: n1 = bwd[1], n2 = bwd[2], f1 = fwd[1],
+        # em2/eg2 = emissions(2); fwd[0] needs one synchronous fetch.
+        start_fetch(0, 0)
+        wait_fetch(0, 0)
+        w00 = winf[0, 0, 0]
+
+        def unpack0(v):
+            if W == X:
+                return v
+            padded = jnp.concatenate(
+                [v, jnp.full((R, X - W), NEG, jnp.float32)], axis=1)
+            return pltpu.roll(padded, w00, axis=1)
+
+        f0m = unpack0(fscratch[0, 0])
+        f0x = unpack0(fscratch[0, 1])
+        f0y = unpack0(fscratch[0, 2])
+        # target 2: middle from fwd[0], lower/upper from fwd[1], bwd[2]
+        trans_c, gapx_acc = accumulate_exp(
+            2, em2, eg2, f0m, f0x, f0y, f1m, f1x, f1y, n2m, n2x, n2y,
+            total, trans_c, gapx_acc)
+        # target 1: no middle (source diagonal -1), lower/upper from fwd[0]
+        em1t, eg1t = emissions(1)
+        trans_c, gapx_acc = accumulate_exp(
+            1, em1t, eg1t, neg, neg, neg, f0m, f0x, f0y, n1m, n1x, n1y,
+            total, trans_c, gapx_acc)
+        trans_ref[0] = trans_c
+        gapx_ref[0] = gapx_acc
+
     pltpu.make_async_copy(pscratch.at[(ND - 1) % 2], post_ref.at[g, 1],
                           sems.at[(ND - 1) % 2]).wait()
     pltpu.make_async_copy(pscratch.at[(ND - 2) % 2], post_ref.at[g, 2],
@@ -673,11 +791,12 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                 lambda *a: tuple(v.astype(jnp.float32) for v in a))
         return self._cache[key]
 
-    def run(self, sm, reads, ragged_right=False, compact_k=4096):
+    def run(self, sm, reads, ragged_right=False, compact_k=4096,
+            expectations=False):
         prep = self.prepare(sm, reads, ragged_right=ragged_right)
         X, ND, C, W = prep["X"], prep["ND"], prep["C"], prep["W"]
         scal = self._scalars(sm)
-        fwd_fn, bwd_fn = self._fns(X, ND, C, W)
+        fwd_fn, bwd_fn, bwd_exp_fn = self._fns(X, ND, C, W)
         # features assemble on device from compact uploads (kmer indices +
         # events + once-per-model tables) — the upload link is slow
         xf, yf = self._device_features(sm, prep)
@@ -686,15 +805,49 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             jax.device_put(prep["seedf"]), jax.device_put(prep["raggedf"]))
         win3 = jax.device_put(prep["win"][:, None, :])
         fwd = fwd_fn(scal, win3, xf, yf, basef, widthf)
-        posts, totals = bwd_fn(scal, win3, xf, yf, basef, widthf, seedf,
-                               raggedf, fwd)
+        out = {}
+        if expectations:
+            posts, totals, trans, gapx = bwd_exp_fn(
+                scal, win3, xf, yf, basef, widthf, seedf, raggedf, fwd)
+            out["expectations"] = self._reduce_expectations(prep, trans,
+                                                            gapx, totals)
+        else:
+            posts, totals = bwd_fn(scal, win3, xf, yf, basef, widthf,
+                                   seedf, raggedf, fwd)
         global _compact_jit
         if _compact_jit is None:
             import jax as _jax
             _compact_jit = _jax.jit(compact_posteriors, static_argnums=1)
         vals, idx = _compact_jit(posts, min(compact_k, (ND) * W))
-        return dict(posteriors=posts, compact=(vals, idx), totals=totals,
-                    prep=prep)
+        out.update(posteriors=posts, compact=(vals, idx), totals=totals,
+                   prep=prep)
+        return out
+
+    def _reduce_expectations(self, prep, trans, gapx, totals):
+        """Device-side post-processing of the kernel's expectation
+        accumulators: [G, R, 128] transition lanes -> [B, 3, 3]; per-column
+        gap-X mass scattered to per-kmer counters by the column's kmer
+        index (the engine's 'signal3' kmer_gap, ops/engine.py)."""
+        from ..constants import NUM_OF_KMERS
+        B, R = prep["B"], prep["R"]
+        G = prep["Bp"] // R
+        kx = jnp.asarray(prep["kx"]).astype(jnp.int32).reshape(G, R, -1)
+
+        def reduce_fn(trans, gapx, kx, totals):
+            tr = trans[:, :, :9].reshape(G * R, 3, 3)
+            idx = jnp.clip(kx, 0, NUM_OF_KMERS + 1).reshape(G * R, -1)
+            seg = jax.vmap(
+                lambda vals, ids: jnp.zeros(NUM_OF_KMERS + 2).at[ids].add(
+                    vals))(gapx.reshape(G * R, -1), idx)
+            return tr, seg, totals.reshape(G * R, -1)[:, 0]
+
+        tr, seg, tot = jax.jit(reduce_fn)(trans, gapx, kx, totals)
+        n_diag = jnp.asarray([b.n_diag for b in prep["bands"]])
+        return {
+            "trans": np.asarray(tr)[:B],
+            "kmer_gap": np.asarray(seg)[:B],
+            "likelihood": np.asarray(tot)[:B] * np.asarray(n_diag),
+        }
 
     def _fns(self, X, ND, C, W):
         key = (X, ND, C, W, self.group, self.spec.__name__)
@@ -741,36 +894,55 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                 interpret=self.interpret,
             )(scal, win, xf, yf, basef, widthf)
 
-        def bwd(scal, win, xf, yf, basef, widthf, seedf, raggedf, fwd_hbm):
-            G = xf.shape[0] // R
-            return pl.pallas_call(
-                bwd_kernel,
-                grid=(G,),
-                in_specs=[common_in[0], win_spec]
-                         + list(common_in[1:]) + [
-                    vspec((R, NDp)),
-                    vspec((R, NDp)),
-                    pl.BlockSpec(memory_space=pl.ANY),
-                ],
-                out_specs=[
-                    pl.BlockSpec(memory_space=pl.ANY),
-                    pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct((G, ND + 1, R, W), jnp.float32),
-                    jax.ShapeDtypeStruct((G, R, 128), jnp.float32),
-                ],
-                scratch_shapes=[
-                    pltpu.SemaphoreType.DMA((4,)),
-                    pltpu.VMEM((2, 3, R, W), jnp.float32),
-                    pltpu.VMEM((2, R, W), jnp.float32),
-                ],
-                compiler_params=pltpu.CompilerParams(has_side_effects=True),
-                interpret=self.interpret,
-            )(scal, win, xf, yf, basef, widthf, seedf, raggedf, fwd_hbm)
+        def make_bwd(with_exp):
+            kern = functools.partial(_sm3_backward_kernel, X=X, ND=ND, C=C,
+                                     R=R, W=W, spec=self.spec,
+                                     with_exp=with_exp)
+            out_specs = [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            def shapes(G):
+                out = [jax.ShapeDtypeStruct((G, ND + 1, R, W), jnp.float32),
+                       jax.ShapeDtypeStruct((G, R, 128), jnp.float32)]
+                if with_exp:
+                    out += [jax.ShapeDtypeStruct((G, R, 128), jnp.float32),
+                            jax.ShapeDtypeStruct((G, R, X), jnp.float32)]
+                return out
+            extra_specs = ([pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0),
+                                         memory_space=pltpu.VMEM),
+                            pl.BlockSpec((1, R, X), lambda g: (g, 0, 0),
+                                         memory_space=pltpu.VMEM)]
+                           if with_exp else [])
 
-        fns = (jax.jit(fwd), jax.jit(bwd))
+            def bwd(scal, win, xf, yf, basef, widthf, seedf, raggedf,
+                    fwd_hbm):
+                G = xf.shape[0] // R
+                return pl.pallas_call(
+                    kern,
+                    grid=(G,),
+                    in_specs=[common_in[0], win_spec]
+                             + list(common_in[1:]) + [
+                        vspec((R, NDp)),
+                        vspec((R, NDp)),
+                        pl.BlockSpec(memory_space=pl.ANY),
+                    ],
+                    out_specs=out_specs + extra_specs,
+                    out_shape=shapes(G),
+                    scratch_shapes=[
+                        pltpu.SemaphoreType.DMA((4,)),
+                        pltpu.VMEM((2, 3, R, W), jnp.float32),
+                        pltpu.VMEM((2, R, W), jnp.float32),
+                    ],
+                    compiler_params=pltpu.CompilerParams(
+                        has_side_effects=True),
+                    interpret=self.interpret,
+                )(scal, win, xf, yf, basef, widthf, seedf, raggedf, fwd_hbm)
+
+            return jax.jit(bwd)
+
+        fns = (jax.jit(fwd), make_bwd(False), make_bwd(True))
         self._cache[key] = fns
         return fns
 

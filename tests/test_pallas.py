@@ -135,3 +135,39 @@ def test_vanilla_pallas_matches_engine_pairs(template_model, fixture_reads):
         for s, x, y in got:
             if (x, y) in ws:
                 assert abs(s - ws[(x, y)]) <= 20000, (x, y, s, ws[(x, y)])
+
+
+def test_pallas_expectations_match_engine(template_model, fixture_reads):
+    """Kernel EM accumulators vs the engine single-window expectation pass
+    (posterior-weighted transition counts + per-kmer gap counts)."""
+    from cpecan_tpu.ops.engine import make_control
+    sm = StateMachine3SignalStrawman(template_model)
+    params = AlignmentParams()
+    pa = StrawmanPallasAligner(params, interpret=True)
+    out = pa.run(sm, fixture_reads, expectations=True)
+    exp = out["expectations"]
+    assert exp["trans"].shape == (len(fixture_reads), 3, 3)
+
+    for i, (ref, events, l_x, l_y, anchors) in enumerate(fixture_reads):
+        band = make_band(anchors, l_x, l_y, params.diagonal_expansion)
+        n = band.n_diag
+        plan = _plan_from_windows([(0, n, n)], False, n)
+        plan.refresh[:] = False
+        plan.refresh[0] = True
+        ctrl = make_control(band, plan)
+        problem = sm.build(ref, events, ((band.max_width + 7) // 8) * 8,
+                           dtype=jnp.float64)
+        all_fwd = forward_pass(problem, ctrl, problem.feats)
+        eng = backward_pass(problem, ctrl, problem.feats, all_fwd,
+                            compute_expectations=True)["expectations"]
+        want_tr = np.asarray(eng["trans"])
+        got_tr = exp["trans"][i]
+        # f32 kernel vs f64 engine on accumulated posterior mass
+        np.testing.assert_allclose(got_tr, want_tr, rtol=2e-3, atol=1e-3)
+        want_gap = np.asarray(eng["kmer_gap"])
+        got_gap = exp["kmer_gap"][i]
+        assert want_gap.shape == got_gap.shape
+        np.testing.assert_allclose(got_gap.sum(), want_gap.sum(), rtol=2e-3)
+        nz = want_gap > 1e-3
+        np.testing.assert_allclose(got_gap[nz], want_gap[nz], rtol=5e-3,
+                                   atol=1e-3)
