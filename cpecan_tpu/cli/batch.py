@@ -131,6 +131,9 @@ def train_models_main(argv=None):
                    help="exonerate cigar file keyed by read name")
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--engine", default="scan", choices=["scan", "pallas"],
+                   help="E-step engine: per-read scan engine or the "
+                        "batched TPU wavefront kernel (threeState only)")
     args = p.parse_args(argv)
 
     from ..pipeline.train_models import TrainOptions, train
@@ -151,7 +154,7 @@ def train_models_main(argv=None):
     opts = TrainOptions(sm_type=args.stateMachineType,
                         iterations=args.iterations,
                         training_amount=args.train_amount,
-                        threshold=args.threshold)
+                        threshold=args.threshold, engine=args.engine)
     t_hmm, c_hmm, trajectory = train(
         args.ref, pairs, args.templateModel, args.complementModel,
         os.path.join(args.output_location, "template_trained.hmm"),

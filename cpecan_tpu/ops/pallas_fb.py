@@ -644,24 +644,27 @@ class StrawmanPallasAligner(_PallasAlignerBase):
 
     spec = _StrawmanSpec
 
-    def _scalars(self, sm):
+    def _scalars(self, sm, ragged_left=False):
         p = sm.p
         vals = [p["match_continue"], p["match_from_gap_x"], p["match_from_gap_y"],
                 p["gap_open_x"], p["gap_extend_x"], p["gap_switch_to_x"],
                 p["gap_open_y"], p["gap_extend_y"]]
-        start = [0.0, NEG, NEG]
-        end = [p["match_continue"], p["match_from_gap_x"], p["match_from_gap_y"]]
-        ragged_end = [(p["gap_open_x"] + p["gap_open_y"]) / 2.0,
-                      p["gap_extend_x"], p["gap_extend_y"]]
-        arr = np.array([vals + start + end + ragged_end], dtype=np.float64)
+        start = sm.ragged_start_vec() if ragged_left else sm.start_vec()
+        end = sm.end_vec()
+        ragged_end = sm.ragged_end_vec()
+        arr = np.array([vals + list(start) + list(end) + list(ragged_end)],
+                       dtype=np.float64)
         arr = np.nan_to_num(arr, neginf=NEG)
         return np.maximum(arr, NEG).astype(np.float32)
 
     def _device_features(self, sm, prep):
         mm, gm, gapx = self._model_tables(sm)
-        return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256)(
-            jax.device_put(prep["kx"]), jax.device_put(prep["ev"]),
-            mm, gm, gapx)
+        sp = prep.get("sp")
+        return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256,
+                                 scaled=sp is not None)(
+            *([jax.device_put(prep["kx"]), jax.device_put(prep["ev"])]
+              + ([jax.device_put(sp)] if sp is not None else [])
+              + [mm, gm, gapx]))
 
     def _feature_inputs(self, reads, X):
         """Compact per-read inputs for on-device feature assembly: kmer
@@ -681,18 +684,37 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             ev[r, 1:1 + len(events), :] = events[:, :2]
         return dict(kx=kx, ev=ev)
 
-    def _assemble_fn(self, C, Y):
-        """Jitted on-device feature assembly (cached per (C, Y) shape)."""
-        key = ("asm", C, Y)
+    def _assemble_fn(self, C, Y, scaled=False):
+        """Jitted on-device feature assembly (cached per (C, Y) shape).
+
+        With ``scaled``, per-read scale params sp [B, 5] = (scale, shift,
+        var, scale_sd, var_sd) are applied to the match-model gathers —
+        emissions_signal_scaleModel (impl/stateMachine.c:632-674) done on
+        device, so one unscaled table serves a whole batch of reads."""
+        key = ("asm", C, Y, scaled)
         if key in self._cache:
             return self._cache[key]
         from ..constants import NUM_OF_KMERS
 
-        def assemble(kx, ev, mm, gm, gapx):
+        def assemble(kx, ev, sp, mm, gm, gapx):
             kx = kx.astype(jnp.int32)
             valid = kx <= NUM_OF_KMERS
             safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
-            rows = [jnp.where(valid, mm[safe, c], 0.0) for c in range(4)]
+            if sp is None:
+                rows = [jnp.where(valid, mm[safe, c], 0.0) for c in range(4)]
+            else:
+                scale = sp[:, 0:1]
+                shift = sp[:, 1:2]
+                var = sp[:, 2:3]
+                scale_sd = sp[:, 3:4]
+                var_sd = sp[:, 4:5]
+                lvl_mu = mm[safe, 0] * scale + shift
+                lvl_sd = mm[safe, 1] * var
+                nz_mu = mm[safe, 2] * scale_sd
+                nz_sd = jnp.sqrt(nz_mu ** 3
+                                 / jnp.maximum(mm[safe, 4] * var_sd, 1e-30))
+                rows = [jnp.where(valid, r, 0.0)
+                        for r in (lvl_mu, lvl_sd, nz_mu, nz_sd)]
             rows += [jnp.where(valid, gm[safe, c], 0.0) for c in range(4)]
             rows += [jnp.maximum(jnp.where(valid, gapx[safe], NEG), NEG)]
             xf = jnp.stack(rows, axis=1).astype(jnp.float32)
@@ -703,7 +725,11 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             yf = yf.at[:, 1, C - n + 1:C + 1].set(ev[:, :n, 1][:, ::-1])
             return xf, yf
 
-        fn = jax.jit(assemble)
+        if scaled:
+            fn = jax.jit(assemble)
+        else:
+            fn = jax.jit(lambda kx, ev, mm, gm, gapx:
+                         assemble(kx, ev, None, mm, gm, gapx))
         self._cache[key] = fn
         return fn
 
@@ -712,7 +738,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         key = ("model", id(sm))
         if key not in self._cache:
             self._cache[key] = (
-                jax.device_put(np.asarray(sm.model.match_model[:, :4],
+                jax.device_put(np.asarray(sm.model.match_model[:, :5],
                                           np.float32)),
                 jax.device_put(np.asarray(sm.model.gap_y_model[:, :4],
                                           np.float32)),
@@ -722,7 +748,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             )
         return self._cache[key]
 
-    def prepare(self, sm, reads, ragged_right=False):
+    def prepare(self, sm, reads, ragged_right=False, scale_params=None):
         from ..ops.band import make_band
 
         p = self.params
@@ -775,9 +801,15 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             lo = lo_all[g * R:(g + 1) * R].min(axis=0)
             lo = np.where(np.isfinite(lo), lo, 0.0)
             win[g] = np.clip(lo.astype(np.int64), 0, X - W)
+        out_extra = {}
+        if scale_params is not None:
+            sp = np.ones((Bp, 5), np.float32)
+            sp[:, 1] = 0.0  # identity: scale 1, shift 0, var/sds 1
+            sp[:B] = np.asarray(scale_params, np.float32)
+            out_extra["sp"] = sp
         # band arrays ship as int16/uint8 (values < 2^15) and widen to f32
         # on device — upload bandwidth is the scarce resource
-        return dict(**finputs, basef=basef.astype(np.int16),
+        return dict(**finputs, **out_extra, basef=basef.astype(np.int16),
                     widthf=widthf.astype(np.int16),
                     seedf=seedf.astype(np.uint8),
                     raggedf=raggedf.astype(np.uint8),
@@ -791,11 +823,12 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                 lambda *a: tuple(v.astype(jnp.float32) for v in a))
         return self._cache[key]
 
-    def run(self, sm, reads, ragged_right=False, compact_k=4096,
-            expectations=False):
-        prep = self.prepare(sm, reads, ragged_right=ragged_right)
+    def run(self, sm, reads, ragged_right=False, ragged_left=False,
+            compact_k=4096, expectations=False, scale_params=None):
+        prep = self.prepare(sm, reads, ragged_right=ragged_right,
+                            scale_params=scale_params)
         X, ND, C, W = prep["X"], prep["ND"], prep["C"], prep["W"]
-        scal = self._scalars(sm)
+        scal = self._scalars(sm, ragged_left=ragged_left)
         fwd_fn, bwd_fn, bwd_exp_fn = self._fns(X, ND, C, W)
         # features assemble on device from compact uploads (kmer indices +
         # events + once-per-model tables) — the upload link is slow
@@ -955,11 +988,11 @@ class VanillaPallasAligner(StrawmanPallasAligner):
 
     spec = _VanillaSpec
 
-    def _scalars(self, sm):
+    def _scalars(self, sm, ragged_left=False):
         a_yy = sm.t_e_to_e
         a_ym = 1.0 - a_yy
         vals = [np.log(a_ym), np.log(a_yy)]
-        start = sm.start_vec()
+        start = sm.ragged_start_vec() if ragged_left else sm.start_vec()
         end = sm.end_vec()
         ragged_end = sm.ragged_end_vec()
         arr = np.array([vals + start + end + ragged_end], dtype=np.float64)
@@ -1047,6 +1080,9 @@ class VanillaPallasAligner(StrawmanPallasAligner):
         return fn
 
     def _device_features(self, sm, prep):
+        if "sp" in prep:
+            raise NotImplementedError("per-read scale params are not yet "
+                                      "supported on the vanilla kernel")
         mm4, gm4, skip60 = self._model_tables(sm)
         return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256)(
             jax.device_put(prep["kxp"]), jax.device_put(prep["kxn"]),

@@ -28,6 +28,10 @@ class TrainOptions:
     training_amount: int = 1_000_000  # bases of training data per iteration
     threshold: float = 0.01
     params: AlignmentParams = field(default_factory=AlignmentParams)
+    # 'scan' runs the reference-faithful per-read engine; 'pallas' batches
+    # the whole E-step through the wavefront kernel (threeState only,
+    # ~12x faster, no large-gap splitting inside one read)
+    engine: str = "scan"
 
 
 def cull_training_files(read_paths, training_amount, rng):
@@ -59,6 +63,39 @@ def add_and_norm_expectations(hmms, sm_type):
     likelihood = merged.likelihood
     merged.normalize()
     return merged, likelihood
+
+
+def _pallas_strand_expectations(model_file, hmm_file, jobs, sps, options):
+    """Batched E-step for one strand through the wavefront kernel
+    (StrawmanPallasAligner.run(expectations=True)): one kernel launch for
+    the whole strand instead of a per-read engine pass; per-read model
+    scaling happens on device."""
+    from ..io.poremodel import load_pore_model
+    from ..models.state_machines import StateMachine3SignalStrawman
+    from ..ops.pallas_fb import StrawmanPallasAligner
+
+    model = load_pore_model(model_file)
+    params = gap_x = None
+    if hmm_file:
+        hmm = ContinuousPairHmm.load(hmm_file)
+        params, gap_x = hmm.to_sm3_params()
+    sm = StateMachine3SignalStrawman(model, params=params,
+                                     gap_x_log_probs=gap_x)
+    import jax
+    pa = StrawmanPallasAligner(options.params,
+                               interpret=jax.default_backend() == "cpu")
+    out = pa.run(sm, jobs, expectations=True,
+                 scale_params=np.asarray(sps, np.float64),
+                 ragged_left=True, ragged_right=True)
+    exp = out["expectations"]
+    accs = []
+    for i in range(len(jobs)):
+        h = ContinuousPairHmm(pseudocount=0.0001)
+        h.add_expectations({"trans": exp["trans"][i],
+                            "kmer_gap": exp["kmer_gap"][i],
+                            "likelihood": exp["likelihood"][i]})
+        accs.append(h)
+    return accs
 
 
 def train(reference_path, read_guide_pairs, template_model, complement_model,
@@ -102,10 +139,14 @@ def train(reference_path, read_guide_pairs, template_model, complement_model,
                 t_hmm_file = out_template_hmm
                 c_hmm_file = out_complement_hmm
                 log(f"resumed from checkpoint at iteration {step}")
+    if options.engine == "pallas" and options.sm_type != "threeState":
+        raise ValueError("engine='pallas' supports sm_type='threeState'")
+
     t_merged = c_merged = None
     for iteration in range(start_iteration, options.iterations):
         sample = read_guide_pairs
         t_accs, c_accs = [], []
+        t_jobs, c_jobs, t_sp, c_sp = [], [], [], []
         for npread_path, guide in sample:
             import copy
             aln = copy.deepcopy(guide)
@@ -128,6 +169,24 @@ def train(reference_path, read_guide_pairs, template_model, complement_model,
             anchors = filter_to_remove_overlap(sorted(
                 convert_alignment_to_anchor_pairs(
                     aln, options.params.constraint_diagonal_trim)))
+            if options.engine == "pallas":
+                from ..cli.signal_align import get_remapped_anchor_pairs
+                from ..constants import KMER_LENGTH
+                for jobs, sps, target, events, emap, npp in (
+                        (t_jobs, t_sp, trimmed, t_events,
+                         np_read.template_event_map,
+                         np_read.template_params),
+                        (c_jobs, c_sp, rc_trimmed, c_events,
+                         np_read.complement_event_map,
+                         np_read.complement_params)):
+                    l_x = max(len(target) - (KMER_LENGTH - 1), 0)
+                    remapped = get_remapped_anchor_pairs(anchors, emap,
+                                                         map_offset)
+                    jobs.append((target, events, l_x, len(events),
+                                 remapped))
+                    sps.append([npp.scale, npp.shift, npp.var,
+                                npp.scale_sd, npp.var_sd])
+                continue
             t_accs.append(get_signal_expectations(
                 template_model, t_hmm_file, options.sm_type,
                 np_read.template_params, t_events,
@@ -138,6 +197,11 @@ def train(reference_path, read_guide_pairs, template_model, complement_model,
                 np_read.complement_params, c_events,
                 np_read.complement_event_map, map_offset, rc_trimmed,
                 options.params, anchors, COMPLEMENT))
+        if options.engine == "pallas":
+            t_accs = _pallas_strand_expectations(
+                template_model, t_hmm_file, t_jobs, t_sp, options)
+            c_accs = _pallas_strand_expectations(
+                complement_model, c_hmm_file, c_jobs, c_sp, options)
         t_merged, t_lik = add_and_norm_expectations(t_accs, options.sm_type)
         c_merged, c_lik = add_and_norm_expectations(c_accs, options.sm_type)
         with open(out_template_hmm, "w") as fh:

@@ -171,3 +171,30 @@ def test_pallas_expectations_match_engine(template_model, fixture_reads):
         nz = want_gap > 1e-3
         np.testing.assert_allclose(got_gap[nz], want_gap[nz], rtol=5e-3,
                                    atol=1e-3)
+
+
+def test_pallas_per_read_scaling(template_model, fixture_reads):
+    """On-device per-read model scaling vs per-read scale_model + engine."""
+    from cpecan_tpu.io.poremodel import scale_model
+
+    params = AlignmentParams()
+    rng = np.random.default_rng(11)
+    sp = np.stack([rng.uniform(0.9, 1.1, len(fixture_reads)),   # scale
+                   rng.uniform(-2.0, 2.0, len(fixture_reads)),  # shift
+                   rng.uniform(0.9, 1.1, len(fixture_reads)),   # var
+                   rng.uniform(0.9, 1.1, len(fixture_reads)),   # scale_sd
+                   rng.uniform(0.9, 1.1, len(fixture_reads))],  # var_sd
+                  axis=1)
+    base_sm = StateMachine3SignalStrawman(template_model)
+    pa = StrawmanPallasAligner(params, interpret=True)
+    out = pa.run(base_sm, fixture_reads, scale_params=sp)
+    for i, (ref, events, l_x, l_y, anchors) in enumerate(fixture_reads):
+        scaled = scale_model(template_model, *sp[i])
+        sm_i = StateMachine3SignalStrawman(scaled)
+        want = _engine_single_window(sm_i, ref, events, l_x, l_y, anchors,
+                                     params)
+        got = extract_pairs_from_pallas(out, i, params.threshold)
+        want_set = {(x, y) for _, x, y in want}
+        got_set = {(x, y) for _, x, y in got}
+        assert len(got_set ^ want_set) <= 1, (i, got_set ^ want_set)
+        assert len(got_set & want_set) >= 0.98 * max(len(want_set), 1)

@@ -62,3 +62,43 @@ def test_blast_scoring_matrix(tmp_path):
     text = out.getvalue()
     assert "gap_open_penalty" in text and "gap_extend_penalty" in text
     assert len(text.splitlines()) == 7
+
+
+@pytest.mark.slow
+def test_train_models_pallas_engine_matches_scan(tmp_path,
+                                                 zymo_reference_seq,
+                                                 zymo_npread):
+    """trainModels E-step through the wavefront kernel vs the scan engine:
+    same M-step fixed point (normalized transitions) on the Zymo read."""
+    from cpecan_tpu.io.cigar import parse_cigar_line
+    from cpecan_tpu.models.hmm import ContinuousPairHmm
+    from cpecan_tpu.pipeline.train_models import TrainOptions, train
+    from tests.test_signal_cli import _guide_cigar, NPREAD, TMODEL, CMODEL
+
+    guide = parse_cigar_line(
+        _guide_cigar(tmp_path, zymo_reference_seq, zymo_npread))
+    ref_file = tmp_path / "ref.seq"
+    ref_file.write_text(zymo_reference_seq + "\n")
+    pairs = [(NPREAD, guide)]
+
+    results = {}
+    for engine in ("scan", "pallas"):
+        opts = TrainOptions(sm_type="threeState", iterations=2,
+                            engine=engine)
+        out_t = tmp_path / f"t_{engine}.hmm"
+        out_c = tmp_path / f"c_{engine}.hmm"
+        t_hmm, c_hmm, traj = train(str(ref_file), pairs, TMODEL, CMODEL,
+                                   str(out_t), str(out_c), opts,
+                                   log=lambda m: None)
+        results[engine] = ContinuousPairHmm.load(str(out_t))
+        assert len(traj) == 2
+    np.testing.assert_allclose(results["pallas"].transitions,
+                               results["scan"].transitions,
+                               rtol=0.05, atol=5e-3)
+    np.testing.assert_allclose(
+        results["pallas"].kmer_gap_probs.sum(),
+        results["scan"].kmer_gap_probs.sum(), rtol=1e-6)  # both normalized
+    top = np.argsort(results["scan"].kmer_gap_probs)[-20:]
+    np.testing.assert_allclose(results["pallas"].kmer_gap_probs[top],
+                               results["scan"].kmer_gap_probs[top],
+                               rtol=0.1, atol=1e-4)
