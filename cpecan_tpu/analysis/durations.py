@@ -45,7 +45,7 @@ def collect_event_durations(directories, destination, fraction=0.25,
         for directory in directories:
             files = sorted(glob(os.path.join(directory, "*.fast5"))
                            + glob(os.path.join(directory, "*.npRead")))
-            k = int(floor(fraction * len(files))) or len(files)
+            k = min(max(1, int(floor(fraction * len(files)))), len(files))
             log(f"Found {len(files)} in folder {directory} sampling {k}")
             for f in rng.sample(files, k):
                 try:

@@ -39,12 +39,17 @@ def _collect_read_pairs(files_dir, guides, workdir, reference_fasta, log):
 
     npreads = sorted(glob.glob(os.path.join(files_dir, "*.npRead")))
     fast5s = sorted(glob.glob(os.path.join(files_dir, "*.fast5")))
+    if npreads and not guides:
+        raise SystemExit(
+            f"{len(npreads)} .npRead files in {files_dir} but no --guides "
+            "file: npRead inputs need guide cigars (bwa runs only on the "
+            "fast5 path)")
     pairs = []
     for p in npreads:
         name = os.path.basename(p).replace(".npRead", "")
-        if guides and name in guides:
+        if name in guides:
             pairs.append((p, guides[name][0]))
-        elif guides:
+        else:
             log(f"no guide for {name}, skipping")
     if fast5s:
         guide_fn = None

@@ -602,6 +602,10 @@ class HierarchicalDirichletProcess:
             raise ValueError("need data and finalized structure")
         if backend not in ("auto", "native", "python"):
             raise ValueError(f"unknown backend {backend!r}")
+        if backend == "native" and snapshot_func is not None:
+            raise ValueError("snapshot_func requires backend='python' "
+                             "(or 'auto'): the native sampler cannot call "
+                             "back per sweep")
         if backend != "python" and snapshot_func is None:
             from .native import native_available, run_native_gibbs
             if native_available():

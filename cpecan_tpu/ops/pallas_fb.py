@@ -99,23 +99,14 @@ def _dyn_lane_slice(ref, row, start, X):
     return rot[:, :X]
 
 
-def _col_select(row, idx):
-    """Per-sublane column extraction via onehot + lane reduction.
-
-    Reductions produce lane-replicated layouts, so the resulting [R,1]
-    broadcasts cleanly against [R,X] tiles (a direct dynamic-slice column has
-    a dynamic lane layout Mosaic cannot relayout to replicated).
-    row: [R, L] value; idx: traced scalar."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    return jnp.sum(jnp.where(lane == idx, row, 0.0), axis=1, keepdims=True)
-
-
 def _col_select_ref(ref, idx):
     """Column idx of a [R, L] VMEM ref as a lane-replicated [R, 1].
 
+    Onehot + lane reduction (reductions produce lane-replicated layouts, so
+    the result broadcasts cleanly against [R, X] tiles; a direct
+    dynamic-slice column has a dynamic lane layout Mosaic cannot relayout).
     Loads only the 128-lane page containing the column (aligned dynamic
-    load) before the onehot reduction — one vreg of work per call instead
-    of L/128."""
+    load), so it's one vreg of work per call instead of L/128."""
     aligned = pl.multiple_of((idx // 128) * 128, 128)
     page = ref[:, pl.ds(aligned, 128)]
     lane = jax.lax.broadcasted_iota(jnp.int32, page.shape, 1)
@@ -733,20 +724,29 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         self._cache[key] = fn
         return fn
 
+    def _model_cache(self, sm, build):
+        """Device-resident model tables, uploaded once per state machine.
+
+        The cache holds a strong reference to each sm (so an id() is never
+        reused while its entry is alive) and keeps only the most recent few
+        models (bounds device memory across EM iterations)."""
+        lru = self._cache.setdefault("models", {})
+        key = id(sm)
+        if key not in lru or lru[key][0] is not sm:
+            lru[key] = (sm, build(sm))
+            while len(lru) > 4:
+                lru.pop(next(iter(lru)))
+        return lru[key][1]
+
     def _model_tables(self, sm):
-        """Device-resident model tables, uploaded once per state machine."""
-        key = ("model", id(sm))
-        if key not in self._cache:
-            self._cache[key] = (
-                jax.device_put(np.asarray(sm.model.match_model[:, :5],
-                                          np.float32)),
-                jax.device_put(np.asarray(sm.model.gap_y_model[:, :4],
-                                          np.float32)),
-                jax.device_put(np.nan_to_num(
-                    np.asarray(sm.gap_x_log_probs, np.float32),
-                    neginf=NEG)),
-            )
-        return self._cache[key]
+        return self._model_cache(sm, lambda sm: (
+            jax.device_put(np.asarray(sm.model.match_model[:, :5],
+                                      np.float32)),
+            jax.device_put(np.asarray(sm.model.gap_y_model[:, :4],
+                                      np.float32)),
+            jax.device_put(np.nan_to_num(
+                np.asarray(sm.gap_x_log_probs, np.float32), neginf=NEG)),
+        ))
 
     def prepare(self, sm, reads, ragged_right=False, scale_params=None):
         from ..ops.band import make_band
@@ -801,6 +801,11 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             lo = lo_all[g * R:(g + 1) * R].min(axis=0)
             lo = np.where(np.isfinite(lo), lo, 0.0)
             win[g] = np.clip(lo.astype(np.int64), 0, X - W)
+        if X >= 2 ** 15:
+            raise ValueError(
+                f"reference length {X} exceeds the Pallas aligner's int16 "
+                "band-metadata range (~32k columns); split the alignment "
+                "(ops/anchors.get_split_points) or use the scan engine")
         out_extra = {}
         if scale_params is not None:
             sp = np.ones((Bp, 5), np.float32)
@@ -1022,17 +1027,14 @@ class VanillaPallasAligner(StrawmanPallasAligner):
     def _model_tables(self, sm):
         from ..io.poremodel import (LEVEL_MEAN, LEVEL_SD, NOISE_MEAN,
                                     NOISE_LAMBDA)
-        key = ("model", id(sm))
-        if key not in self._cache:
-            cols = [LEVEL_MEAN, LEVEL_SD, NOISE_MEAN, NOISE_LAMBDA]
-            self._cache[key] = (
-                jax.device_put(np.asarray(sm.model.match_model[:, cols],
-                                          np.float32)),
-                jax.device_put(np.asarray(sm.model.gap_y_model[:, cols],
-                                          np.float32)),
-                jax.device_put(np.asarray(sm.skip_bin_probs, np.float32)),
-            )
-        return self._cache[key]
+        cols = [LEVEL_MEAN, LEVEL_SD, NOISE_MEAN, NOISE_LAMBDA]
+        return self._model_cache(sm, lambda sm: (
+            jax.device_put(np.asarray(sm.model.match_model[:, cols],
+                                      np.float32)),
+            jax.device_put(np.asarray(sm.model.gap_y_model[:, cols],
+                                      np.float32)),
+            jax.device_put(np.asarray(sm.skip_bin_probs, np.float32)),
+        ))
 
     def _assemble_fn(self, C, Y):
         key = ("asm", C, Y)

@@ -44,12 +44,15 @@ def global_data_mesh():
 
 def local_shard_bounds(n_items):
     """[start, stop) of this host's contiguous slice of an n_items batch,
-    proportional to its local device count."""
-    n_proc = jax.process_count()
+    proportional to its local device count (hosts with more chips take a
+    proportionally larger slice, matching the 'data' mesh layout)."""
     pid = jax.process_index()
-    per = (n_items + n_proc - 1) // n_proc
-    start = min(pid * per, n_items)
-    return start, min(start + per, n_items)
+    total = jax.device_count()
+    before = sum(1 for d in jax.devices() if d.process_index < pid)
+    mine = sum(1 for d in jax.devices() if d.process_index == pid)
+    start = (n_items * before) // total
+    stop = (n_items * (before + mine)) // total
+    return start, stop
 
 
 class MultiHostEmController:

@@ -24,23 +24,11 @@ from jax import shard_map
 
 from ..constants import N_SENTINEL, NUM_OF_KMERS, PAIR_ALIGNMENT_PROB_1
 from ..models import kmers as K
-
-NEG = -1e30
-
-
-from ..ops.pallas_fb import _log_add as _logadd  # reference cubic logAdd
-
-
-def _logadd3(a, b, c):
-    return _logadd(_logadd(a, b), c)
-
-
-def _gauss(x, mu, sd):
-    log_inv_sqrt_2pi = -0.91893853320467267
-    ok = sd > 0.0
-    sds = jnp.where(ok, sd, 1.0)
-    a = (x - mu) / sds
-    return jnp.where(ok, log_inv_sqrt_2pi - jnp.log(sds) - 0.5 * a * a, NEG)
+# shared numeric kernels: the reference cubic logAdd and the guarded
+# Gaussian, identical to the Pallas wavefront path
+from ..ops.pallas_fb import NEG, _gauss
+from ..ops.pallas_fb import _log_add as _logadd
+from ..ops.pallas_fb import _log_add3 as _logadd3
 
 
 def _x_features(sm, ref_seq, X, dtype):

@@ -247,6 +247,10 @@ def expectation_maximisation(sequences, alignments, options: EmOptions,
                 running = list(meta["running"])
                 rng = rng_state_from_json(meta["rng_state"])
 
+    # checkpoint the PRE-sharding RNG state: a resumed run must re-draw the
+    # same shard sample/shuffle as the interrupted run
+    if manager is not None:
+        shard_rng_state = rng_state_to_json(rng)
     shards = _shard_alignments(alignments, options, rng)
     for iteration in range(start_iteration, options.iterations):
         use_default = options.use_default_model_as_start and iteration == 0
@@ -282,7 +286,7 @@ def expectation_maximisation(sequences, alignments, options: EmOptions,
                          meta={"model_type": hmm.model_type,
                                "likelihood": hmm.likelihood,
                                "running": running,
-                               "rng_state": rng_state_to_json(rng)})
+                               "rng_state": shard_rng_state})
     hmm.running_likelihoods = running
     return hmm
 

@@ -65,14 +65,15 @@ def add_and_norm_expectations(hmms, sm_type):
     return merged, likelihood
 
 
-def _pallas_strand_expectations(model_file, hmm_file, jobs, sps, options):
+def _pallas_strand_expectations(model_file, hmm_file, jobs, sps, options,
+                                pa):
     """Batched E-step for one strand through the wavefront kernel
     (StrawmanPallasAligner.run(expectations=True)): one kernel launch for
     the whole strand instead of a per-read engine pass; per-read model
-    scaling happens on device."""
+    scaling happens on device.  ``pa`` is shared across EM iterations so
+    its compiled-kernel and feature-assembly caches hit."""
     from ..io.poremodel import load_pore_model
     from ..models.state_machines import StateMachine3SignalStrawman
-    from ..ops.pallas_fb import StrawmanPallasAligner
 
     model = load_pore_model(model_file)
     params = gap_x = None
@@ -81,9 +82,6 @@ def _pallas_strand_expectations(model_file, hmm_file, jobs, sps, options):
         params, gap_x = hmm.to_sm3_params()
     sm = StateMachine3SignalStrawman(model, params=params,
                                      gap_x_log_probs=gap_x)
-    import jax
-    pa = StrawmanPallasAligner(options.params,
-                               interpret=jax.default_backend() == "cpu")
     out = pa.run(sm, jobs, expectations=True,
                  scale_params=np.asarray(sps, np.float64),
                  ragged_left=True, ragged_right=True)
@@ -139,8 +137,14 @@ def train(reference_path, read_guide_pairs, template_model, complement_model,
                 t_hmm_file = out_template_hmm
                 c_hmm_file = out_complement_hmm
                 log(f"resumed from checkpoint at iteration {step}")
-    if options.engine == "pallas" and options.sm_type != "threeState":
-        raise ValueError("engine='pallas' supports sm_type='threeState'")
+    pallas_aligner = None
+    if options.engine == "pallas":
+        if options.sm_type != "threeState":
+            raise ValueError("engine='pallas' supports sm_type='threeState'")
+        import jax
+        from ..ops.pallas_fb import StrawmanPallasAligner
+        pallas_aligner = StrawmanPallasAligner(
+            options.params, interpret=jax.default_backend() == "cpu")
 
     t_merged = c_merged = None
     for iteration in range(start_iteration, options.iterations):
@@ -199,9 +203,11 @@ def train(reference_path, read_guide_pairs, template_model, complement_model,
                 options.params, anchors, COMPLEMENT))
         if options.engine == "pallas":
             t_accs = _pallas_strand_expectations(
-                template_model, t_hmm_file, t_jobs, t_sp, options)
+                template_model, t_hmm_file, t_jobs, t_sp, options,
+                pallas_aligner)
             c_accs = _pallas_strand_expectations(
-                complement_model, c_hmm_file, c_jobs, c_sp, options)
+                complement_model, c_hmm_file, c_jobs, c_sp, options,
+                pallas_aligner)
         t_merged, t_lik = add_and_norm_expectations(t_accs, options.sm_type)
         c_merged, c_lik = add_and_norm_expectations(c_accs, options.sm_type)
         with open(out_template_hmm, "w") as fh:
