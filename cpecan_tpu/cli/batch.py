@@ -81,10 +81,18 @@ def signal_align_batch_main(argv=None):
                    help="exonerate cigar file keyed by read name "
                         "(alternative to running bwa)")
     p.add_argument("--target_regions", "-q", default=None)
+    p.add_argument("--engine", default="scan", choices=["scan", "pallas"],
+                   help="scan: per-read reference-faithful engine; pallas: "
+                        "batched TPU wavefront kernel (threeState only)")
+    p.add_argument("--templateModel", "-T",
+                   default="/root/reference/models/template_median68pA.model")
+    p.add_argument("--complementModel", "-C",
+                   default="/root/reference/models/"
+                           "complement_median68pA_pop2.model")
     args = p.parse_args(argv)
 
     from ..io.fasta import read_fasta_file
-    from ..pipeline.signal_align_batch import run_batch
+    from ..pipeline.signal_align_batch import run_batch, run_batch_fast
 
     log = lambda m: print(m, file=sys.stderr)
     os.makedirs(args.output_location, exist_ok=True)
@@ -106,10 +114,21 @@ def signal_align_batch_main(argv=None):
                                              max(v[1].start1, v[1].end1))}
     pairs = _collect_read_pairs(args.file_directory, guides,
                                 args.output_location, args.ref, log)
-    results = run_batch(ref_path, pairs, args.output_location,
-                        sm_type=args.stateMachineType, banded=args.banded,
-                        threshold=args.threshold, n_reads=args.nb_files,
-                        log=log)
+    if args.engine == "pallas":
+        if args.stateMachineType != "threeState":
+            p.error("--engine pallas requires -smt threeState")
+        if args.nb_files is not None:
+            pairs = pairs[:args.nb_files]
+        results = run_batch_fast(
+            ref_path, pairs, args.output_location,
+            template_model_file=args.templateModel,
+            complement_model_file=args.complementModel,
+            threshold=args.threshold, log=log)
+    else:
+        results = run_batch(ref_path, pairs, args.output_location,
+                            sm_type=args.stateMachineType,
+                            banded=args.banded, threshold=args.threshold,
+                            n_reads=args.nb_files, log=log)
     ok = sum(1 for _, s, _ in results if s)
     print(f"aligned {ok}/{len(results)} reads", file=sys.stderr)
     return 0 if ok else 1

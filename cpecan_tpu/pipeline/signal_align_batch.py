@@ -62,6 +62,155 @@ def prepare_fast5_reads(fast5_paths, workdir, reference_fasta=None,
     return pairs
 
 
+def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
+                   template_model_file, complement_model_file,
+                   in_template_hmm=None, in_complement_hmm=None,
+                   threshold=0.01, params=None, group=8, compact_k=4096,
+                   log=print, interpret=None):
+    """Batched signalAlign through the Pallas wavefront kernel (threeState
+    machine): both strands of every read align in a handful of kernel
+    launches with per-read model scaling on device, then the standard
+    15-column posterior tsvs are written per read.
+
+    Same per-read preprocessing as cli.signal_align main (guide trimming,
+    event slicing, anchor rebasing — vanillaAlign.c:463-530); posteriors
+    are normalized by the exact per-read total rather than the reference's
+    windowed-traceback estimates, so scores can differ from the scan
+    engine in ~1e-3 while pair decisions match.
+    """
+    import copy
+
+    import jax
+    import numpy as np
+
+    from ..align import AlignmentParams
+    from ..cli.realign import (convert_alignment_to_anchor_pairs,
+                               rebase_coordinates)
+    from ..cli.signal_align import (get_remapped_anchor_pairs,
+                                    make_event_slice, write_posterior_probs)
+    from ..constants import COMPLEMENT, KMER_LENGTH, TEMPLATE
+    from ..io.cigar import parse_cigar_line
+    from ..io.fasta import reverse_complement
+    from ..io.npread import load_npread
+    from ..io.poremodel import load_pore_model, scale_model
+    from ..models.hmm import ContinuousPairHmm
+    from ..models.state_machines import StateMachine3SignalStrawman
+    from ..ops.anchors import filter_to_remove_overlap
+    from ..ops.pallas_fb import StrawmanPallasAligner, extract_pairs_compact
+
+    params = params or AlignmentParams(threshold=threshold)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(reference_path) as fh:
+        reference_seq = fh.readline().strip()
+
+    jobs = {TEMPLATE: [], COMPLEMENT: []}
+    sps = {TEMPLATE: [], COMPLEMENT: []}
+    meta = []
+    for npread_path, guide_cigar in npread_guide_pairs:
+        label = os.path.basename(npread_path).replace(".npRead", "")
+        try:
+            np_read = load_npread(npread_path)
+            aln = parse_cigar_line(guide_cigar.strip())
+        except Exception as exc:
+            log(f"could not load {label}: {exc}")
+            continue
+        if aln.strand1:
+            trimmed = reference_seq[aln.start1:aln.end1]
+        else:
+            trimmed = reverse_complement(
+                reference_seq[aln.end1:aln.start1])
+        rc_trimmed = reverse_complement(trimmed)
+        t_events, t_off = make_event_slice(
+            np_read.template_events, aln.start2, aln.end2,
+            np_read.template_event_map)
+        c_events, c_off = make_event_slice(
+            np_read.complement_events, aln.start2, aln.end2,
+            np_read.complement_event_map)
+        forward = aln.strand1
+        contig = aln.contig1
+        r_shift = {TEMPLATE: aln.start1, COMPLEMENT: aln.end1}
+        map_offset = aln.start2
+        aln2 = copy.deepcopy(aln)
+        flip1 = not aln2.strand1
+        ref_shift = aln2.start1 if aln2.strand1 else aln2.end1
+        rebase_coordinates(aln2, 1, -ref_shift, flip1)
+        anchors = filter_to_remove_overlap(sorted(
+            convert_alignment_to_anchor_pairs(
+                aln2, params.constraint_diagonal_trim)))
+        for strand, target, events, emap, npp in (
+                (TEMPLATE, trimmed, t_events,
+                 np_read.template_event_map, np_read.template_params),
+                (COMPLEMENT, rc_trimmed, c_events,
+                 np_read.complement_event_map,
+                 np_read.complement_params)):
+            l_x = max(len(target) - (KMER_LENGTH - 1), 0)
+            remapped = get_remapped_anchor_pairs(anchors, emap, map_offset)
+            jobs[strand].append((target, events, l_x, len(events),
+                                 remapped))
+            sps[strand].append([npp.scale, npp.shift, npp.var,
+                                npp.scale_sd, npp.var_sd])
+        meta.append(dict(label=label, np_read=np_read, forward=forward,
+                         contig=contig, trimmed=trimmed,
+                         rc_trimmed=rc_trimmed, r_shift=r_shift,
+                         ev_off={TEMPLATE: t_off, COMPLEMENT: c_off}))
+
+    if not meta:
+        return []
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    pa = StrawmanPallasAligner(params, interpret=interpret, group=group)
+
+    def strand_sm(model_file, hmm_file):
+        model = load_pore_model(model_file)
+        p = gap_x = None
+        if hmm_file:
+            hmm = ContinuousPairHmm.load(hmm_file)
+            p, gap_x = hmm.to_sm3_params()
+        return StateMachine3SignalStrawman(model, params=p,
+                                           gap_x_log_probs=gap_x), model
+
+    results = []
+    outs = {}
+    models = {}
+    for strand, model_file, hmm_file in (
+            (TEMPLATE, template_model_file, in_template_hmm),
+            (COMPLEMENT, complement_model_file, in_complement_hmm)):
+        sm, models[strand] = strand_sm(model_file, hmm_file)
+        outs[strand] = pa.run(sm, jobs[strand], compact_k=compact_k,
+                              scale_params=np.asarray(sps[strand]),
+                              ragged_left=True, ragged_right=True)
+
+    for i, m in enumerate(meta):
+        tsv = os.path.join(out_dir, m["label"] + ".tsv")
+        n_pairs = {}
+        with open(tsv, "w") as fh:
+            for strand in (TEMPLATE, COMPLEMENT):
+                out = outs[strand]
+                vals, idx = out["compact"]
+                pairs = extract_pairs_compact(
+                    vals, idx, i, out["prep"]["bands"][i].n_diag,
+                    out["prep"], params.threshold)
+                pairs.sort(key=lambda t: t[1] + t[2])
+                n_pairs[strand] = len(pairs)
+                npp = (m["np_read"].template_params if strand == TEMPLATE
+                       else m["np_read"].complement_params)
+                full_events = (m["np_read"].template_events
+                               if strand == TEMPLATE
+                               else m["np_read"].complement_events)
+                target = (m["trimmed"] if strand == TEMPLATE
+                          else m["rc_trimmed"])
+                scaled = scale_model(models[strand], npp.scale, npp.shift,
+                                     npp.var, npp.scale_sd, npp.var_sd)
+                write_posterior_probs(
+                    fh, m["label"], scaled.match_model, npp.scale,
+                    npp.shift, full_events, target, m["forward"],
+                    m["contig"], m["ev_off"][strand],
+                    m["r_shift"][strand], pairs, strand)
+        results.append((m["label"], True,
+                        f"t={n_pairs[TEMPLATE]} c={n_pairs[COMPLEMENT]}"))
+    return results
+
+
 def run_batch(reference_path, npread_guide_pairs, out_dir, *, sm_type="vanilla",
               banded=False, threshold=0.01, n_reads=None, rng=None, log=print):
     """npread_guide_pairs: list of (npread_path, guide cigar line str)."""
