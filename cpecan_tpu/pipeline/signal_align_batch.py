@@ -66,7 +66,7 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                    template_model_file, complement_model_file,
                    in_template_hmm=None, in_complement_hmm=None,
                    threshold=0.01, params=None, group=8, compact_k=4096,
-                   log=print, interpret=None):
+                   log=print, interpret=None, aligner=None):
     """Batched signalAlign through the Pallas wavefront kernel (threeState
     machine): both strands of every read align in a handful of kernel
     launches with per-read model scaling on device, then the standard
@@ -156,9 +156,12 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
 
     if not meta:
         return []
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    pa = StrawmanPallasAligner(params, interpret=interpret, group=group)
+    if aligner is not None:
+        pa = aligner  # reuse compiled kernels across batches
+    else:
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        pa = StrawmanPallasAligner(params, interpret=interpret, group=group)
 
     def strand_sm(model_file, hmm_file):
         model = load_pore_model(model_file)
@@ -176,9 +179,14 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
             (TEMPLATE, template_model_file, in_template_hmm),
             (COMPLEMENT, complement_model_file, in_complement_hmm)):
         sm, models[strand] = strand_sm(model_file, hmm_file)
-        outs[strand] = pa.run(sm, jobs[strand], compact_k=compact_k,
-                              scale_params=np.asarray(sps[strand]),
-                              ragged_left=True, ragged_right=True)
+        out = pa.run(sm, jobs[strand], compact_k=compact_k,
+                     scale_params=np.asarray(sps[strand]),
+                     ragged_left=True, ragged_right=True)
+        # one device->host transfer per strand (per-read slices of device
+        # arrays would each pay the full transfer latency)
+        vals, idx = out["compact"]
+        out["compact"] = (np.asarray(vals), np.asarray(idx))
+        outs[strand] = out
 
     for i, m in enumerate(meta):
         tsv = os.path.join(out_dir, m["label"] + ".tsv")
