@@ -121,6 +121,8 @@ def get_aligned_pairs_without_banding(sm, x_input, y_input, l_x, l_y,
                                       ragged_right=False, strict=True,
                                       dtype=jnp.float64):
     params = params or AlignmentParams()
+    if l_x == 0 or l_y == 0:
+        return []  # degenerate matrix: no match cells exist
     out = _run_one(sm, x_input, y_input, l_x, l_y, [], params, banded=False,
                    ragged_left=ragged_left, ragged_right=ragged_right,
                    strict=strict, dtype=dtype, compute_expectations=False)
@@ -137,6 +139,8 @@ def get_aligned_pairs_using_anchors(sm, x_input, y_input, l_x, l_y,
     (getPosteriorProbsWithBandingSplittingAlignmentsByLargeGaps,
     impl/pairwiseAligner.c:1405-1471)."""
     params = params or AlignmentParams()
+    if l_x == 0 or l_y == 0:
+        return []
     split_points = get_split_points(anchor_pairs, l_x, l_y,
                                     params.split_matrix_bigger_than_this,
                                     ragged_left, ragged_right)

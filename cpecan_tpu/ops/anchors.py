@@ -59,7 +59,10 @@ def get_split_points(anchor_pairs, l_x, l_y, split_matrix_bigger_than_this,
         x1, y1, _ = _get_split_points_p(
             x1, y1, x2, y2, x3, y3, split_points,
             split_matrix_bigger_than_this, ragged_left_end and i == 0)
-        assert x3 >= x2 and y3 >= y2 and x3 < l_x and y3 < l_y
+        if not (x3 >= x2 and y3 >= y2 and x3 < l_x and y3 < l_y):
+            raise ValueError(
+                f"anchor ({x3}, {y3}) not strictly increasing within "
+                f"[{x2}, {l_x}) x [{y2}, {l_y})")
         x2, y2 = x3 + 1, y3 + 1
     x1, y1, did_split = _get_split_points_p(
         x1, y1, x2, y2, l_x, l_y, split_points,

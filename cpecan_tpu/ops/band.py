@@ -127,8 +127,8 @@ def band_construct(anchor_pairs, l_x, l_y, expansion):
         if not (np.all(np.diff(ax) > 0) and np.all(np.diff(ay) > 0)
                 and ax[0] > 0 and ay[0] > 0 and ax[-1] <= l_x
                 and ay[-1] <= l_y):
-            raise AssertionError("anchors must be strictly increasing and "
-                                 "in range")
+            raise ValueError("anchors must be strictly increasing and "
+                             "in range")
     wx = np.concatenate([[0], ax, [l_x]])
     wy = np.concatenate([[0], ay, [l_y]])
     pxay = wx[:-1] + wy[:-1]      # segment k: previous waypoint

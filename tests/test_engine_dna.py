@@ -117,3 +117,30 @@ def test_banded_matches_unbanded_on_random_pairs():
             assert 0 <= y < len(seq_y)
             assert (x, y) not in seen
             seen.add((x, y))
+
+
+def test_edge_cases():
+    """Degenerate inputs: empty sequences return [], 1x1 aligns, bad
+    anchors raise (verify-skill probe list)."""
+    import numpy as np
+    from cpecan_tpu.align import (AlignmentParams,
+                                  get_aligned_pairs_using_anchors,
+                                  get_aligned_pairs_without_banding)
+    from cpecan_tpu.io.poremodel import load_pore_model
+    from cpecan_tpu.models.state_machines import StateMachine3SignalStrawman
+
+    model = load_pore_model(
+        "/root/reference/models/template_median68pA.model")
+    sm = StateMachine3SignalStrawman(model)
+    params = AlignmentParams()
+    assert get_aligned_pairs_without_banding(
+        sm, "", np.zeros((0, 3)), 0, 0, params) == []
+    assert get_aligned_pairs_using_anchors(
+        sm, "ACGTAC", np.zeros((0, 3)), 1, 0, [], params) == []
+    ev = np.array([[65.0, 1.0, 0.05]])
+    out = get_aligned_pairs_without_banding(sm, "ACGTAC", ev, 1, 1, params)
+    assert len(out) == 1 and out[0][1:] == (0, 0)
+    with pytest.raises(ValueError):
+        get_aligned_pairs_using_anchors(
+            sm, "ACGTACGTACGTACG", np.tile(ev, (10, 1)), 10, 10,
+            [(5, 5), (3, 7)], params)
