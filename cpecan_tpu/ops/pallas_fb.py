@@ -143,6 +143,7 @@ class _StrawmanSpec:
     impl/stateMachine.c:1306-1335): global scalar transitions, gap-X
     emission from a per-kmer table, Gaussian×Gaussian match emission."""
 
+    S = 3     # states: M, shortGapX, shortGapY
     NS = 8    # machine scalars
     NXF = 9   # x-feature rows
 
@@ -155,27 +156,29 @@ class _StrawmanSpec:
         return e_match, e_gapy
 
     @staticmethod
-    def fwd_update(t, xf, e_match, e_gapy, p1m, p1x, p1y, p2m, p2x, p2y):
+    def fwd_update(t, xf, e_match, e_gapy, p1, p2):
+        p1m, p1x, p1y = p1
         e_gapx = xf[:, 8, :]
         sm = _shift_right(p1m)
         sx = _shift_right(p1x)
         sy = _shift_right(p1y)
         new_x = _log_add3(sm + t[T_OX], sx + t[T_EX], sy + t[T_SX]) + e_gapx
-        new_m = _log_add3(_shift_right(p2m) + t[T_MM],
-                          _shift_right(p2x) + t[T_XM],
-                          _shift_right(p2y) + t[T_YM]) + e_match
+        new_m = _log_add3(_shift_right(p2[0]) + t[T_MM],
+                          _shift_right(p2[1]) + t[T_XM],
+                          _shift_right(p2[2]) + t[T_YM]) + e_match
         new_y = _log_add(p1m + t[T_OY], p1y + t[T_EY]) + e_gapy
-        return new_m, new_x, new_y
+        return [new_m, new_x, new_y]
 
     @staticmethod
     def bwd_prelude(xf, t):
         return ()
 
     @staticmethod
-    def bwd_update(t, xf, pre, em1, eg1, em2, n1m, n1x, n1y, n2m):
+    def bwd_update(t, xf, pre, em1, eg1, em2, n1, n2):
+        n1m, n1x, n1y = n1
         e_gapx = xf[:, 8, :]
         # middle (from d+2 at x+1, target M): uses next2[M]
-        mid = _shift_left(em2 + n2m)
+        mid = _shift_left(em2 + n2[0])
         bw_m = mid + t[T_MM]
         bw_x = mid + t[T_XM]
         bw_y = mid + t[T_YM]
@@ -188,7 +191,7 @@ class _StrawmanSpec:
         bw_m = _log_add(bw_m, low + t[T_OX])
         bw_x = _log_add(bw_x, low + t[T_EX])
         bw_y = _log_add(bw_y, low + t[T_SX])
-        return bw_m, bw_x, bw_y
+        return [bw_m, bw_x, bw_y]
 
     # transition lane layout for the expectation accumulator: frm*3 + to
     # (ContinuousPairHmm's [3,3] transition table order)
@@ -196,8 +199,7 @@ class _StrawmanSpec:
                  "ym": 6, "sx": 7, "ey": 8}
 
     @staticmethod
-    def exp_probs(t, xf, em_t, eg_t, f0m, f0x, f0y, f1m, f1x, f1y,
-                  bw2m, bw2x, bw2y, total):
+    def exp_probs(t, xf, em_t, eg_t, f0, f1, bw2, total):
         """Posterior transition probabilities into one target diagonal
         (cell_signal_updateTransAndKmerSkipExpectations,
         impl/pairwiseAligner.c:442-459): p = exp(fwd_src + transition +
@@ -208,23 +210,90 @@ class _StrawmanSpec:
 
         e_gapx = xf[:, 8, :]
         # middle: src (d, x-1) -> M at (d+2, x)
-        mid = em_t + bw2m
+        mid = em_t + bw2[0]
         probs = {
-            "mm": p(_shift_right(f0m) + t[T_MM] + mid),
-            "xm": p(_shift_right(f0x) + t[T_XM] + mid),
-            "ym": p(_shift_right(f0y) + t[T_YM] + mid),
+            "mm": p(_shift_right(f0[0]) + t[T_MM] + mid),
+            "xm": p(_shift_right(f0[1]) + t[T_XM] + mid),
+            "ym": p(_shift_right(f0[2]) + t[T_YM] + mid),
         }
         # lower: src (d+1, x-1) -> X at (d+2, x)
-        low = e_gapx + bw2x
-        probs["ox"] = p(_shift_right(f1m) + t[T_OX] + low)
-        probs["ex"] = p(_shift_right(f1x) + t[T_EX] + low)
-        probs["sx"] = p(_shift_right(f1y) + t[T_SX] + low)
+        low = e_gapx + bw2[1]
+        probs["ox"] = p(_shift_right(f1[0]) + t[T_OX] + low)
+        probs["ex"] = p(_shift_right(f1[1]) + t[T_EX] + low)
+        probs["sx"] = p(_shift_right(f1[2]) + t[T_SX] + low)
         # upper: src (d+1, x) -> Y at (d+2, x)
-        up = eg_t + bw2y
-        probs["oy"] = p(f1m + t[T_OY] + up)
-        probs["ey"] = p(f1y + t[T_EY] + up)
+        up = eg_t + bw2[2]
+        probs["oy"] = p(f1[0] + t[T_OY] + up)
+        probs["ey"] = p(f1[2] + t[T_EY] + up)
         gapx_sum = probs["ox"] + probs["ex"] + probs["sx"]
         return probs, gapx_sum
+
+
+# 5-state DNA machine scalar order: lower(4), middle(5), upper(4)
+(T5_SOX, T5_SEX, T5_LOX, T5_LEX,
+ T5_MM, T5_MSX, T5_MSY, T5_MLX, T5_MLY,
+ T5_SOY, T5_SEY, T5_LOY, T5_LEY) = range(13)
+
+
+class _Dna5Spec:
+    """Classic 5-state affine-gap DNA pair-HMM (stateMachine5_cellCalculate,
+    impl/stateMachine.c:830-866): states M, shortGapX, shortGapY, longGapX,
+    longGapY; match emission from the 5x5 (incl. N) base table via a
+    5-way select on the y base index, gap emissions as value rows."""
+
+    S = 5
+    NS = 13
+    NXF = 6   # match rows for y-base 0..4, then the gap-X emission row
+
+    @staticmethod
+    def emissions(xf, mean, noise):
+        # mean carries the y base index (0..4) as float; noise carries the
+        # gap-Y emission value directly
+        e_match = jnp.where(mean == 0.0, xf[:, 0, :], 0.0)
+        for b in range(1, 5):
+            e_match = e_match + jnp.where(mean == float(b), xf[:, b, :],
+                                          0.0)
+        return e_match, noise
+
+    @staticmethod
+    def fwd_update(t, xf, e_match, e_gapy, p1, p2):
+        e_gapx = xf[:, 5, :]
+        sr_m = _shift_right(p1[0])
+        new_sx = _log_add(sr_m + t[T5_SOX],
+                          _shift_right(p1[1]) + t[T5_SEX]) + e_gapx
+        new_lx = _log_add(sr_m + t[T5_LOX],
+                          _shift_right(p1[3]) + t[T5_LEX]) + e_gapx
+        new_m = _log_add(
+            _log_add3(_shift_right(p2[0]) + t[T5_MM],
+                      _shift_right(p2[1]) + t[T5_MSX],
+                      _shift_right(p2[2]) + t[T5_MSY]),
+            _log_add(_shift_right(p2[3]) + t[T5_MLX],
+                     _shift_right(p2[4]) + t[T5_MLY])) + e_match
+        new_sy = _log_add(p1[0] + t[T5_SOY], p1[2] + t[T5_SEY]) + e_gapy
+        new_ly = _log_add(p1[0] + t[T5_LOY], p1[4] + t[T5_LEY]) + e_gapy
+        return [new_m, new_sx, new_sy, new_lx, new_ly]
+
+    @staticmethod
+    def bwd_prelude(xf, t):
+        return ()
+
+    @staticmethod
+    def bwd_update(t, xf, pre, em1, eg1, em2, n1, n2):
+        e_gapx = xf[:, 5, :]
+        mid = _shift_left(em2 + n2[0])
+        low_s = _shift_left(e_gapx + n1[1])
+        low_l = _shift_left(e_gapx + n1[3])
+        up_s = eg1 + n1[2]
+        up_l = eg1 + n1[4]
+        bw_m = _log_add(
+            _log_add3(mid + t[T5_MM], low_s + t[T5_SOX],
+                      low_l + t[T5_LOX]),
+            _log_add(up_s + t[T5_SOY], up_l + t[T5_LOY]))
+        bw_sx = _log_add(mid + t[T5_MSX], low_s + t[T5_SEX])
+        bw_sy = _log_add(mid + t[T5_MSY], up_s + t[T5_SEY])
+        bw_lx = _log_add(mid + t[T5_MLX], low_l + t[T5_LEX])
+        bw_ly = _log_add(mid + t[T5_MLY], up_l + t[T5_LEY])
+        return [bw_m, bw_sx, bw_sy, bw_lx, bw_ly]
 
 
 # vanilla machine scalar order
@@ -237,6 +306,7 @@ class _VanillaSpec:
     bins (x-feature rows 8-12: la_mx, la_xx, la_mm, la_xm, la_my), silent
     kmer-skip gap-X (no emission), Gaussian×inverse-Gaussian emissions."""
 
+    S = 3
     NS = 2
     NXF = 13
 
@@ -249,16 +319,17 @@ class _VanillaSpec:
         return e_match, e_gapy
 
     @staticmethod
-    def fwd_update(t, xf, e_match, e_gapy, p1m, p1x, p1y, p2m, p2x, p2y):
+    def fwd_update(t, xf, e_match, e_gapy, p1, p2):
+        p1m, p1x, p1y = p1
         la_mx, la_xx, la_mm, la_xm, la_my = (xf[:, i, :]
                                              for i in range(8, 13))
         new_x = _log_add(_shift_right(p1m) + la_mx,
                          _shift_right(p1x) + la_xx)
-        new_m = _log_add3(_shift_right(p2m) + la_mm,
-                          _shift_right(p2x) + la_xm,
-                          _shift_right(p2y) + t[VA_YM]) + e_match
+        new_m = _log_add3(_shift_right(p2[0]) + la_mm,
+                          _shift_right(p2[1]) + la_xm,
+                          _shift_right(p2[2]) + t[VA_YM]) + e_match
         new_y = _log_add(p1m + la_my, p1y + t[VA_YY]) + e_gapy
-        return new_m, new_x, new_y
+        return [new_m, new_x, new_y]
 
     @staticmethod
     def bwd_prelude(xf, t):
@@ -266,16 +337,16 @@ class _VanillaSpec:
         return tuple(_shift_left(xf[:, i, :]) for i in (8, 9, 10, 11))
 
     @staticmethod
-    def bwd_update(t, xf, pre, em1, eg1, em2, n1m, n1x, n1y, n2m):
+    def bwd_update(t, xf, pre, em1, eg1, em2, n1, n2):
         la_mx_s, la_xx_s, la_mm_s, la_xm_s = pre
         la_my = xf[:, 12, :]
-        mid = _shift_left(em2 + n2m)
-        up = eg1 + n1y
-        low = _shift_left(n1x)  # silent gap-X: no emission on lower
+        mid = _shift_left(em2 + n2[0])
+        up = eg1 + n1[2]
+        low = _shift_left(n1[1])  # silent gap-X: no emission on lower
         bw_m = _log_add3(mid + la_mm_s, low + la_mx_s, up + la_my)
         bw_x = _log_add(mid + la_xm_s, low + la_xx_s)
         bw_y = _log_add(mid + t[VA_YM], up + t[VA_YY])
-        return bw_m, bw_x, bw_y
+        return [bw_m, bw_x, bw_y]
 
 
 def _window_out(v, w0, X, W):
@@ -293,8 +364,9 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, out_ref, sem,
     keeps the forward tensor and its DMA X/W times smaller.  The emission
     formulas and transition combines come from the machine `spec`."""
     g = pl.program_id(0)
+    S = spec.S
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, X), 1).astype(jnp.float32)
-    t = [scal[0, i] for i in range(spec.NS + 9)]
+    t = [scal[0, i] for i in range(spec.NS + 3 * S)]
     S_M = spec.NS
 
     def band_mask(d):
@@ -304,31 +376,26 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, out_ref, sem,
 
     m0 = band_mask(0)
     zeros = jnp.zeros((R, X), jnp.float32) + 0.0 * lane
-    prev1_m = jnp.where(m0, zeros + t[S_M], NEG)
-    prev1_x = jnp.where(m0, zeros + t[S_M + 1], NEG)
-    prev1_y = jnp.where(m0, zeros + t[S_M + 2], NEG)
+    prev1 = [jnp.where(m0, zeros + t[S_M + i], NEG) for i in range(S)]
     neg = jnp.full((R, X), NEG, jnp.float32) + 0.0 * lane
 
     w0 = winf[0, 0, 0]
-    scratch[0, 0] = _window_out(prev1_m, w0, X, W)
-    scratch[0, 1] = _window_out(prev1_x, w0, X, W)
-    scratch[0, 2] = _window_out(prev1_y, w0, X, W)
+    for i in range(S):
+        scratch[0, i] = _window_out(prev1[i], w0, X, W)
     pltpu.make_async_copy(scratch.at[0], out_ref.at[g, 0], sem.at[0]).start()
 
     def step(d, carry):
-        p1m, p1x, p1y, p2m, p2x, p2y = carry
+        p1 = list(carry[:S])
+        p2 = list(carry[S:])
         mean = _dyn_lane_slice(yf, 0, C - d, X)
         noise = _dyn_lane_slice(yf, 1, C - d, X)
         e_match, e_gapy = spec.emissions(xf, mean, noise)
 
         # lower: prev1[x-1]; middle: prev2[x-1]; upper: prev1[x]
-        new_m, new_x, new_y = spec.fwd_update(t, xf, e_match, e_gapy,
-                                              p1m, p1x, p1y, p2m, p2x, p2y)
+        new = spec.fwd_update(t, xf, e_match, e_gapy, p1, p2)
 
         mask = band_mask(d)
-        new_m = jnp.where(mask, new_m, NEG)
-        new_x = jnp.where(mask, new_x, NEG)
-        new_y = jnp.where(mask, new_y, NEG)
+        new = [jnp.where(mask, v, NEG) for v in new]
 
         slot = d % 2
 
@@ -338,14 +405,13 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, out_ref, sem,
                                   sem.at[slot]).wait()
 
         w0 = winf[0, 0, d]
-        scratch[slot, 0] = _window_out(new_m, w0, X, W)
-        scratch[slot, 1] = _window_out(new_x, w0, X, W)
-        scratch[slot, 2] = _window_out(new_y, w0, X, W)
+        for i in range(S):
+            scratch[slot, i] = _window_out(new[i], w0, X, W)
         pltpu.make_async_copy(scratch.at[slot], out_ref.at[g, d],
                               sem.at[slot]).start()
-        return new_m, new_x, new_y, p1m, p1x, p1y
+        return tuple(new) + tuple(p1)
 
-    carry = (prev1_m, prev1_x, prev1_y, neg, neg, neg)
+    carry = tuple(prev1) + (neg,) * S
     jax.lax.fori_loop(1, ND + 1, step, carry)
     pltpu.make_async_copy(scratch.at[ND % 2], out_ref.at[g, ND],
                           sem.at[ND % 2]).wait()
@@ -393,10 +459,11 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     window start winf[0, d].
     """
     g = pl.program_id(0)
+    S = spec.S
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, X), 1).astype(jnp.float32)
-    t = [scal[0, i] for i in range(spec.NS + 9)]
-    E_M = spec.NS + 3
-    RE_M = spec.NS + 6
+    t = [scal[0, i] for i in range(spec.NS + 3 * S)]
+    E_M = spec.NS + S
+    RE_M = spec.NS + 2 * S
     pre = spec.bwd_prelude(xf, t)
 
     def band(d):
@@ -425,13 +492,12 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
 
-    def accumulate_exp(d_target, em_t, eg_t, f0m, f0x, f0y, f1m, f1x, f1y,
-                       bw2m, bw2x, bw2y, total, trans_c, gapx_acc):
+    def accumulate_exp(d_target, em_t, eg_t, f0, f1, bw2, total, trans_c,
+                       gapx_acc):
         """Posterior transition counts for one target diagonal, into the
         per-transition lane accumulator and the per-column gap-X
         accumulator (kmer scatter happens post-kernel)."""
-        probs, gapx_sum = spec.exp_probs(t, xf, em_t, eg_t, f0m, f0x, f0y,
-                                         f1m, f1x, f1y, bw2m, bw2x, bw2y,
+        probs, gapx_sum = spec.exp_probs(t, xf, em_t, eg_t, f0, f1, bw2,
                                          total)
         m = band(d_target).astype(jnp.float32)
         for name, idx in spec.EXP_LANES.items():
@@ -443,8 +509,10 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     def step(s, carry):
         # em2/eg2 carry emissions(d+2): this step's d+2 was the previous
         # step's d+1, so only emissions(d+1) is computed fresh per step
-        (n1m, n1x, n1y, n2m, n2x, n2y, total, em2, eg2, f1m, f1x, f1y,
-         trans_c, gapx_acc) = carry
+        n1 = list(carry[:S])
+        n2 = list(carry[S:2 * S])
+        f1 = list(carry[2 * S:3 * S])
+        total, em2, eg2, trans_c, gapx_acc = carry[3 * S:]
         d = ND - s
         # per-read seed/ragged flags as exact 0/1 columns (lane-replicated
         # reduction outputs); applied arithmetically — selects with [R,1]
@@ -456,31 +524,22 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         def cut(v):
             return v * keep + NEG * sa
 
-        n1m = cut(n1m)
-        n1x = cut(n1x)
-        n1y = cut(n1y)
-        n2m = cut(n2m)
-        n2x = cut(n2x)
-        n2y = cut(n2y)
+        n1 = [cut(v) for v in n1]
+        n2 = [cut(v) for v in n2]
 
         em1, eg1 = emissions(d + 1)
 
-        bw_m, bw_x, bw_y = spec.bwd_update(t, xf, pre, em1, eg1, em2,
-                                           n1m, n1x, n1y, n2m)
+        bw = spec.bwd_update(t, xf, pre, em1, eg1, em2, n1, n2)
 
         mask = band(d)
         nmask = jnp.logical_not(mask)
-        bw_m = jnp.where(nmask, NEG, bw_m)
-        bw_x = jnp.where(nmask, NEG, bw_x)
-        bw_y = jnp.where(nmask, NEG, bw_y)
-
-        init_m = t[E_M] * (1.0 - ra) + t[RE_M] * ra
-        init_x = t[E_M + 1] * (1.0 - ra) + t[RE_M + 1] * ra
-        init_y = t[E_M + 2] * (1.0 - ra) + t[RE_M + 2] * ra
         seed_in = sa * mask.astype(jnp.float32)   # [R,X] exact 0/1
-        bw_m = bw_m * (1.0 - seed_in) + init_m * seed_in
-        bw_x = bw_x * (1.0 - seed_in) + init_x * seed_in
-        bw_y = bw_y * (1.0 - seed_in) + init_y * seed_in
+        out_bw = []
+        for i in range(S):
+            v = jnp.where(nmask, NEG, bw[i])
+            init_i = t[E_M + i] * (1.0 - ra) + t[RE_M + i] * ra
+            out_bw.append(v * (1.0 - seed_in) + init_i * seed_in)
+        bw = out_bw
 
         # fwd[d] was prefetched last step; kick off fwd[d-1] now (not at
         # d == 1: an unconsumed in-flight DMA may not outlive the kernel)
@@ -501,14 +560,14 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                 [v, jnp.full((R, X - W), NEG, jnp.float32)], axis=1)
             return pltpu.roll(padded, w0, axis=1)
 
-        f_m = unpack(fscratch[slot, 0])
-        f_x = unpack(fscratch[slot, 1])
-        f_y = unpack(fscratch[slot, 2])
+        f = [unpack(fscratch[slot, i]) for i in range(S)]
 
         # --- total probability: one exact total per read, computed at its
         # seed diagonal (full backward => identical along every diagonal)
-        t0 = _masked_lse(
-            _log_add3(f_m + bw_m, f_x + bw_x, f_y + bw_y), mask)
+        prod = f[0] + bw[0]
+        for i in range(1, S):
+            prod = _log_add(prod, f[i] + bw[i])
+        t0 = _masked_lse(prod, mask)
         total = total * keep + t0 * sa
 
         if with_exp:
@@ -516,14 +575,13 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
             # and fwd[d+1] (lower/upper, carried unpacked), target backward
             # bwd[d+2] (carried)
             trans_c, gapx_acc = accumulate_exp(
-                d + 2, em2, eg2, f_m, f_x, f_y, f1m, f1x, f1y,
-                n2m, n2x, n2y, total, trans_c, gapx_acc)
+                d + 2, em2, eg2, f, f1, n2, total, trans_c, gapx_acc)
 
         # --- match posterior
         df = jnp.float32(d)
         ok = mask & (lane > 0) & (lane < df)
-        post = jnp.where(ok, jnp.exp(jnp.minimum(f_m + bw_m - total, 0.69)),
-                         0.0)
+        post = jnp.where(ok, jnp.exp(jnp.minimum(f[0] + bw[0] - total,
+                                                 0.69)), 0.0)
 
         # band-local window: lanes [w0, w0+W) -> [0, W)
         post_win = _window_out(post, w0, X, W)
@@ -540,20 +598,22 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         pltpu.make_async_copy(pscratch.at[pslot], post_ref.at[g, d],
                               sems.at[pslot]).start()
 
-        return (bw_m, bw_x, bw_y, n1m, n1x, n1y, total, em1, eg1,
-                f_m, f_x, f_y, trans_c, gapx_acc)
+        return (tuple(bw) + tuple(n1) + tuple(f)
+                + (total, em1, eg1, trans_c, gapx_acc))
 
     em_init, eg_init = emissions(ND + 2)
     zero128 = jnp.zeros((R, 128), jnp.float32) + 0.0 * lane128.astype(
         jnp.float32)
     zeroX = jnp.zeros((R, X), jnp.float32) + 0.0 * lane
-    carry = (neg, neg, neg, neg, neg, neg,
-             jnp.full((R, 1), NEG, jnp.float32),
-             em_init + 0.0 * lane, eg_init + 0.0 * lane,
-             neg, neg, neg, zero128, zeroX)
+    carry = ((neg,) * (3 * S)
+             + (jnp.full((R, 1), NEG, jnp.float32),
+                em_init + 0.0 * lane, eg_init + 0.0 * lane,
+                zero128, zeroX))
     carry = jax.lax.fori_loop(0, ND, step, carry)
-    (n1m, n1x, n1y, n2m, n2x, n2y, total, em2, eg2, f1m, f1x, f1y,
-     trans_c, gapx_acc) = carry
+    n1 = list(carry[:S])
+    n2 = list(carry[S:2 * S])
+    f1 = list(carry[2 * S:3 * S])
+    total, em2, eg2, trans_c, gapx_acc = carry[3 * S:]
     tot_ref[0] = total + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
 
     if with_exp:
@@ -571,18 +631,14 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                 [v, jnp.full((R, X - W), NEG, jnp.float32)], axis=1)
             return pltpu.roll(padded, w00, axis=1)
 
-        f0m = unpack0(fscratch[0, 0])
-        f0x = unpack0(fscratch[0, 1])
-        f0y = unpack0(fscratch[0, 2])
+        f0 = [unpack0(fscratch[0, i]) for i in range(S)]
         # target 2: middle from fwd[0], lower/upper from fwd[1], bwd[2]
         trans_c, gapx_acc = accumulate_exp(
-            2, em2, eg2, f0m, f0x, f0y, f1m, f1x, f1y, n2m, n2x, n2y,
-            total, trans_c, gapx_acc)
+            2, em2, eg2, f0, f1, n2, total, trans_c, gapx_acc)
         # target 1: no middle (source diagonal -1), lower/upper from fwd[0]
         em1t, eg1t = emissions(1)
         trans_c, gapx_acc = accumulate_exp(
-            1, em1t, eg1t, neg, neg, neg, f0m, f0x, f0y, n1m, n1x, n1y,
-            total, trans_c, gapx_acc)
+            1, em1t, eg1t, [neg] * S, f0, n1, total, trans_c, gapx_acc)
         trans_ref[0] = trans_c
         gapx_ref[0] = gapx_acc
 
@@ -904,7 +960,8 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             memory_space=pltpu.VMEM)
 
         common_in = [
-            pl.BlockSpec((1, self.spec.NS + 9), lambda g: (0, 0),
+            pl.BlockSpec((1, self.spec.NS + 3 * self.spec.S),
+                         lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
             vspec((R, self.spec.NXF, X)),
             vspec((R, 2, C + X + 256)),
@@ -922,11 +979,11 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                 grid=(G,),
                 in_specs=[common_in[0], win_spec] + list(common_in[1:]),
                 out_specs=pl.BlockSpec(memory_space=pl.ANY),
-                out_shape=jax.ShapeDtypeStruct((G, ND + 1, 3, R, W),
+                out_shape=jax.ShapeDtypeStruct((G, ND + 1, self.spec.S, R, W),
                                                jnp.float32),
                 scratch_shapes=[
                     pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.VMEM((2, 3, R, W), jnp.float32),
+                    pltpu.VMEM((2, self.spec.S, R, W), jnp.float32),
                 ],
                 compiler_params=pltpu.CompilerParams(has_side_effects=True),
                 interpret=self.interpret,
@@ -970,7 +1027,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                     out_shape=shapes(G),
                     scratch_shapes=[
                         pltpu.SemaphoreType.DMA((4,)),
-                        pltpu.VMEM((2, 3, R, W), jnp.float32),
+                        pltpu.VMEM((2, self.spec.S, R, W), jnp.float32),
                         pltpu.VMEM((2, R, W), jnp.float32),
                     ],
                     compiler_params=pltpu.CompilerParams(
@@ -1090,6 +1147,91 @@ class VanillaPallasAligner(StrawmanPallasAligner):
             jax.device_put(prep["kxp"]), jax.device_put(prep["kxn"]),
             jax.device_put(prep["ev"]), mm4, gm4, skip60,
             np.float32(sm.t_m_to_y_not_x))
+
+
+class Dna5PallasAligner(StrawmanPallasAligner):
+    """Classic 5-state DNA pair-HMM (getStateMachine5 / cPecanRealign's
+    machine) on the wavefront kernels.  Reads are
+    (seq_x, seq_y, l_x, l_y, anchors) with both sides DNA strings."""
+
+    spec = _Dna5Spec
+
+    def _scalars(self, sm, ragged_left=False):
+        p = sm.p
+        vals = [p["gap_short_open_x"], p["gap_short_extend_x"],
+                p["gap_long_open_x"], p["gap_long_extend_x"],
+                p["match_continue"], p["match_from_short_gap_x"],
+                p["match_from_short_gap_y"], p["match_from_long_gap_x"],
+                p["match_from_long_gap_y"],
+                p["gap_short_open_y"], p["gap_short_extend_y"],
+                p["gap_long_open_y"], p["gap_long_extend_y"]]
+        start = sm.ragged_start_vec() if ragged_left else sm.start_vec()
+        arr = np.array([vals + list(start) + list(sm.end_vec())
+                        + list(sm.ragged_end_vec())], dtype=np.float64)
+        arr = np.nan_to_num(arr, neginf=NEG)
+        return np.maximum(arr, NEG).astype(np.float32)
+
+    def _feature_inputs(self, reads, X):
+        """x base indices [B, X] int16 (N/sentinel = 4) and the y side as
+        (base index, gap-Y emission) value pairs [B, maxY+1, 2]."""
+        from ..models import kmers as K
+
+        B = len(reads)
+        bx = np.full((B, X), 4, dtype=np.int16)
+        max_y = max(r[3] for r in reads)
+        ev = np.zeros((B, max_y + 1, 2), np.float32)
+        for r, (seq_x, _seq_y, l_x, _l_y, _a) in enumerate(reads):
+            b = np.minimum(K.seq_to_base_indices(seq_x), 4)
+            bx[r, 1:1 + l_x] = b[:l_x]
+        return dict(bx=bx, ydata=ev, reads=list(reads))
+
+    def _model_tables(self, sm):
+        from ..models.state_machines import _extend_tables_with_n
+        return self._model_cache(sm, lambda sm: tuple(
+            jax.device_put(np.asarray(v, np.float32))
+            for v in _extend_tables_with_n(sm.match_table, sm.gap_x_table,
+                                           sm.gap_y_table)))
+
+    def _assemble_fn(self, C, Y):
+        key = ("asm", C, Y)
+        if key in self._cache:
+            return self._cache[key]
+
+        def assemble(bx, ev, match5, gapx5):
+            b = jnp.clip(bx.astype(jnp.int32), 0, 4)
+            rows = [match5[b, col] for col in range(5)]
+            rows.append(jnp.maximum(gapx5[b], NEG))
+            xf = jnp.stack(rows, axis=1).astype(jnp.float32)
+            B, E, _ = ev.shape
+            n = min(E, C + 1)
+            yf = jnp.zeros((B, 2, Y), jnp.float32)
+            yf = yf.at[:, 0, C - n + 1:C + 1].set(ev[:, :n, 0][:, ::-1])
+            yf = yf.at[:, 1, C - n + 1:C + 1].set(ev[:, :n, 1][:, ::-1])
+            return xf, yf
+
+        fn = jax.jit(assemble)
+        self._cache[key] = fn
+        return fn
+
+    def _device_features(self, sm, prep):
+        from ..models import kmers as K
+        from ..models.state_machines import _extend_tables_with_n
+
+        match5, gapx5, gapy5 = self._model_tables(sm)
+        # y rows need the (host) gap-Y table; fill them here where sm is
+        # in scope (prepare() is machine-agnostic)
+        _, _, gapy5_h = _extend_tables_with_n(
+            sm.match_table, sm.gap_x_table, sm.gap_y_table)
+        gapy5_h = np.maximum(np.nan_to_num(gapy5_h, neginf=NEG), NEG)
+        ev = prep["ydata"]
+        ev[:, 0, 0] = 4.0
+        ev[:, 0, 1] = gapy5_h[4]
+        for r, (_sx, seq_y, _lx, l_y, _a) in enumerate(prep["reads"]):
+            by = np.minimum(K.seq_to_base_indices(seq_y), 4)[:l_y]
+            ev[r, 1:1 + l_y, 0] = by
+            ev[r, 1:1 + l_y, 1] = gapy5_h[by]
+        return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256)(
+            jax.device_put(prep["bx"]), jax.device_put(ev), match5, gapx5)
 
 
 def extract_pairs_from_pallas(out, read_idx, threshold):

@@ -198,3 +198,41 @@ def test_pallas_per_read_scaling(template_model, fixture_reads):
         got_set = {(x, y) for _, x, y in got}
         assert len(got_set ^ want_set) <= 1, (i, got_set ^ want_set)
         assert len(got_set & want_set) >= 0.98 * max(len(want_set), 1)
+
+
+def test_dna5_pallas_matches_engine(template_model):
+    """5-state DNA machine (cPecanRealign's) on the wavefront kernels vs
+    the engine, including the reference golden pair set."""
+    from cpecan_tpu.models.state_machines import StateMachine5
+    from cpecan_tpu.ops.pallas_fb import Dna5PallasAligner
+
+    sm = StateMachine5()
+    rng = np.random.default_rng(17)
+    reads = []
+    for i in range(5):
+        n = 60 + 15 * i
+        seq_x = "".join(rng.choice(list("ACGT"), n))
+        seq_y = "".join(c if rng.random() > 0.15 else
+                        str(rng.choice(list("ACGT"))) for c in seq_x)
+        anchors = [(j, j) for j in range(10, n - 10, 12)]
+        reads.append((seq_x, seq_y, len(seq_x), len(seq_y), anchors))
+    # the reference golden case at threshold 0.2 (pairwiseAlignerTest.c:358)
+    reads.append(("AGCG", "AGTTCG", 4, 6, []))
+
+    params = AlignmentParams(threshold=0.2)
+    pa = Dna5PallasAligner(params, interpret=True)
+    out = pa.run(sm, reads)
+    for i, (sx, sy, l_x, l_y, anchors) in enumerate(reads):
+        want = _engine_single_window(sm, sx, sy, l_x, l_y, anchors, params)
+        got = extract_pairs_from_pallas(out, i, params.threshold)
+        want_set = {(x, y) for _, x, y in want}
+        got_set = {(x, y) for _, x, y in got}
+        assert len(got_set ^ want_set) <= 1, (i, got_set ^ want_set)
+        ws = {(x, y): s for s, x, y in want}
+        for s, x, y in got:
+            if (x, y) in ws:
+                assert abs(s - ws[(x, y)]) <= 20000, (i, x, y, s)
+    # golden pair set for AGCG x AGTTCG
+    golden = {(x, y) for _, x, y in
+              extract_pairs_from_pallas(out, len(reads) - 1, 0.2)}
+    assert golden == {(0, 0), (1, 1), (2, 4), (3, 5)}
