@@ -200,6 +200,9 @@ def make_parser():
     p.add_argument("-z", "--outputAllPosteriorProbs", default=None)
     p.add_argument("-v", "--outputExpectations", default=None)
     p.add_argument("-y", "--loadHmm", default=None)
+    p.add_argument("--engine", default="scan", choices=["scan", "pallas"],
+                   help="scan: reference-faithful per-cigar engine; "
+                        "pallas: batched TPU wavefront kernel")
     p.add_argument("-h", "--help", action="help")
     return p
 
@@ -245,6 +248,7 @@ def main(argv=None, stdin=None, stdout=None):
         if path:
             open(path, "w").close()
 
+    deferred = []
     for aln in cigar_read_stream(stdin):
         seq_x = sequences[aln.contig1]
         seq_y = sequences[aln.contig2]
@@ -273,54 +277,90 @@ def main(argv=None, stdin=None, stdout=None):
             hmm_expectations.likelihood += float(acc["likelihood"])
             continue
 
+        if args.engine == "pallas":
+            # defer alignment: batch every cigar through the wavefront
+            # kernel after the read loop
+            deferred.append((aln, sub_x, sub_y, anchors, filtered_anchors,
+                             shift1, flip1, shift2, flip2))
+            continue
+
         aligned_pairs = get_aligned_pairs_using_anchors(
             sm, sub_x, sub_y, len(sub_x), len(sub_y), filtered_anchors,
             params, ragged_left=True, ragged_right=True)
-        aligned_pairs.sort(key=lambda t: (t[1], t[2]))
+        _finish_alignment(args, params, stdout, aln, sub_x, sub_y, anchors,
+                          aligned_pairs, shift1, flip1, shift2, flip2)
 
-        if args.outputAllPosteriorProbs:
-            write_posterior_probs(args.outputAllPosteriorProbs, aligned_pairs)
-
-        if args.rescoreOriginalAlignment:
-            aligned_pairs = score_anchor_pairs(anchors, aligned_pairs)
-        else:
-            from ..ops.reweight import reweight_aligned_pairs_2
-            aligned_pairs = reweight_aligned_pairs_2(
-                aligned_pairs, len(sub_x), len(sub_y), params.gap_gamma)
-            aligned_pairs = filter_pairwise_alignment_to_make_pairs_ordered(
-                aligned_pairs, sub_x, sub_y, args.matchGamma)
-
-        if args.rescoreByPosteriorProb:
-            aln.score = score_by_posterior_probability(
-                len(sub_x), len(sub_y), aligned_pairs)
-        elif args.rescoreByPosteriorProbIgnoringGaps:
-            aln.score = score_by_posterior_probability_ignoring_gaps(aligned_pairs)
-        elif args.rescoreByIdentity:
-            aln.score = score_by_identity(sub_x, sub_y, aligned_pairs)
-        elif args.rescoreByIdentityIgnoringGaps:
-            aln.score = score_by_identity_ignoring_gaps(sub_x, sub_y,
-                                                        aligned_pairs)
-
-        if args.outputPosteriorProbs:
-            write_posterior_probs(args.outputPosteriorProbs, aligned_pairs)
-
-        coord_pairs = sorted((x, y) for _s, x, y in aligned_pairs)
-        r_aln = convert_aligned_pairs_to_pairwise_alignment(
-            aln.contig1, aln.contig2, aln.score, aln.end1, aln.end2,
-            coord_pairs)
-        rebase_coordinates(r_aln, 1, shift1, flip1)
-        rebase_coordinates(r_aln, 2, shift2, flip2)
-        check_pairwise_alignment(r_aln)
-        if args.splitIndelsLongerThanThis != -1:
-            for piece in split_pairwise_alignment(
-                    r_aln, args.splitIndelsLongerThanThis):
-                stdout.write(cigar_write(piece) + "\n")
-        else:
-            stdout.write(cigar_write(r_aln) + "\n")
+    if args.engine == "pallas" and deferred:
+        import jax
+        from ..ops.pallas_fb import (Dna5PallasAligner,
+                                     extract_pairs_compact)
+        jobs = [(sx, sy, len(sx), len(sy), fa)
+                for _aln, sx, sy, _a, fa, *_ in deferred]
+        pa = Dna5PallasAligner(params,
+                               interpret=jax.default_backend() == "cpu")
+        out = pa.run(sm, jobs, ragged_left=True, ragged_right=True)
+        vals, idx = out["compact"]
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        for i, (aln, sub_x, sub_y, anchors, _fa, shift1, flip1, shift2,
+                flip2) in enumerate(deferred):
+            aligned_pairs = extract_pairs_compact(
+                vals, idx, i, out["prep"]["bands"][i].n_diag, out["prep"],
+                params.threshold)
+            _finish_alignment(args, params, stdout, aln, sub_x, sub_y,
+                              anchors, aligned_pairs, shift1, flip1,
+                              shift2, flip2)
 
     if hmm_expectations is not None:
         with open(args.outputExpectations, "w") as fh:
             hmm_expectations.write(fh)
+
+
+def _finish_alignment(args, params, stdout, aln, sub_x, sub_y, anchors,
+                      aligned_pairs, shift1, flip1, shift2, flip2):
+    """Post-alignment pipeline shared by the scan and pallas engines:
+    reweight -> expected-accuracy filter -> rescore -> cigar out
+    (cPecanRealign.c:591-666)."""
+    aligned_pairs.sort(key=lambda t: (t[1], t[2]))
+
+    if args.outputAllPosteriorProbs:
+        write_posterior_probs(args.outputAllPosteriorProbs, aligned_pairs)
+
+    if args.rescoreOriginalAlignment:
+        aligned_pairs = score_anchor_pairs(anchors, aligned_pairs)
+    else:
+        from ..ops.reweight import reweight_aligned_pairs_2
+        aligned_pairs = reweight_aligned_pairs_2(
+            aligned_pairs, len(sub_x), len(sub_y), params.gap_gamma)
+        aligned_pairs = filter_pairwise_alignment_to_make_pairs_ordered(
+            aligned_pairs, sub_x, sub_y, args.matchGamma)
+
+    if args.rescoreByPosteriorProb:
+        aln.score = score_by_posterior_probability(
+            len(sub_x), len(sub_y), aligned_pairs)
+    elif args.rescoreByPosteriorProbIgnoringGaps:
+        aln.score = score_by_posterior_probability_ignoring_gaps(aligned_pairs)
+    elif args.rescoreByIdentity:
+        aln.score = score_by_identity(sub_x, sub_y, aligned_pairs)
+    elif args.rescoreByIdentityIgnoringGaps:
+        aln.score = score_by_identity_ignoring_gaps(sub_x, sub_y,
+                                                    aligned_pairs)
+
+    if args.outputPosteriorProbs:
+        write_posterior_probs(args.outputPosteriorProbs, aligned_pairs)
+
+    coord_pairs = sorted((x, y) for _s, x, y in aligned_pairs)
+    r_aln = convert_aligned_pairs_to_pairwise_alignment(
+        aln.contig1, aln.contig2, aln.score, aln.end1, aln.end2,
+        coord_pairs)
+    rebase_coordinates(r_aln, 1, shift1, flip1)
+    rebase_coordinates(r_aln, 2, shift2, flip2)
+    check_pairwise_alignment(r_aln)
+    if args.splitIndelsLongerThanThis != -1:
+        for piece in split_pairwise_alignment(
+                r_aln, args.splitIndelsLongerThanThis):
+            stdout.write(cigar_write(piece) + "\n")
+    else:
+        stdout.write(cigar_write(r_aln) + "\n")
 
 
 if __name__ == "__main__":

@@ -91,3 +91,35 @@ def test_expectations_mode(seq_pair, tmp_path):
     assert hmm.state_number == 5 and hmm.symbol_set_size == 5
     assert hmm.transitions.sum() > 0
     assert np.isfinite(hmm.likelihood)
+
+
+def test_realign_pallas_engine_matches_scan(tmp_path):
+    """--engine pallas produces the same realigned cigars as the scan
+    engine on random pairs."""
+    import io
+    import random
+    from cpecan_tpu.cli.realign import main
+
+    rng = random.Random(13)
+    fasta = tmp_path / "seqs.fa"
+    cigars = []
+    with open(fasta, "w") as fh:
+        for i in range(4):
+            n = 80 + 20 * i
+            sx = "".join(rng.choice("ACGT") for _ in range(n))
+            sy = "".join(c if rng.random() > 0.12 else rng.choice("ACGT")
+                         for c in sx)
+            fh.write(f">x{i}\n{sx}\n>y{i}\n{sy}\n")
+            cigars.append(f"cigar: y{i} 0 {len(sy)} + x{i} 0 {n} + 0 M {n}")
+    stdin_text = "\n".join(cigars) + "\n"
+
+    outs = {}
+    for engine in ("scan", "pallas"):
+        out = io.StringIO()
+        main([str(fasta), "--engine", engine],
+             stdin=io.StringIO(stdin_text), stdout=out)
+        outs[engine] = out.getvalue().splitlines()
+    assert len(outs["pallas"]) == len(outs["scan"])
+    same = sum(1 for a, b in zip(outs["pallas"], outs["scan"]) if a == b)
+    # f32 kernel vs f64 engine: allow a rare one-pair decision fringe
+    assert same >= len(outs["scan"]) - 1, (outs["pallas"], outs["scan"])
