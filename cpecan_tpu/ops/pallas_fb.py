@@ -229,6 +229,54 @@ class _StrawmanSpec:
         return probs, gapx_sum
 
 
+# 4-state signal machine scalar order: lower(5), middle(4), upper(2)
+(T4_SOX, T4_SEX, T4_LOX, T4_LEX, T4_LSX,
+ T4_MM, T4_MSX, T4_MSY, T4_MLX,
+ T4_SOY, T4_SEY) = range(11)
+
+
+class _Sm4Spec(_StrawmanSpec):
+    """4-state signal machine (stateMachine4_cellCalculate,
+    impl/stateMachine.c:868-898): match, shortGapX, shortGapY, longGapX;
+    emissions identical to the strawman machine (inherited)."""
+
+    S = 4
+    NS = 11
+    NXF = 9
+
+    @staticmethod
+    def fwd_update(t, xf, e_match, e_gapy, p1, p2):
+        e_gapx = xf[:, 8, :]
+        sr_m = _shift_right(p1[0])
+        new_sx = _log_add(sr_m + t[T4_SOX],
+                          _shift_right(p1[1]) + t[T4_SEX]) + e_gapx
+        new_lx = _log_add3(sr_m + t[T4_LOX],
+                           _shift_right(p1[3]) + t[T4_LEX],
+                           _shift_right(p1[2]) + t[T4_LSX]) + e_gapx
+        new_m = _log_add(
+            _log_add(_shift_right(p2[0]) + t[T4_MM],
+                     _shift_right(p2[1]) + t[T4_MSX]),
+            _log_add(_shift_right(p2[2]) + t[T4_MSY],
+                     _shift_right(p2[3]) + t[T4_MLX])) + e_match
+        new_sy = _log_add(p1[0] + t[T4_SOY], p1[2] + t[T4_SEY]) + e_gapy
+        return [new_m, new_sx, new_sy, new_lx]
+
+    @staticmethod
+    def bwd_update(t, xf, pre, em1, eg1, em2, n1, n2):
+        e_gapx = xf[:, 8, :]
+        mid = _shift_left(em2 + n2[0])
+        low_s = _shift_left(e_gapx + n1[1])
+        low_l = _shift_left(e_gapx + n1[3])
+        up = eg1 + n1[2]
+        bw_m = _log_add(_log_add(mid + t[T4_MM], low_s + t[T4_SOX]),
+                        _log_add(low_l + t[T4_LOX], up + t[T4_SOY]))
+        bw_sx = _log_add(mid + t[T4_MSX], low_s + t[T4_SEX])
+        bw_sy = _log_add3(mid + t[T4_MSY], low_l + t[T4_LSX],
+                          up + t[T4_SEY])
+        bw_lx = _log_add(mid + t[T4_MLX], low_l + t[T4_LEX])
+        return [bw_m, bw_sx, bw_sy, bw_lx]
+
+
 # 5-state DNA machine scalar order: lower(4), middle(5), upper(4)
 (T5_SOX, T5_SEX, T5_LOX, T5_LEX,
  T5_MM, T5_MSX, T5_MSY, T5_MLX, T5_MLY,
@@ -356,13 +404,30 @@ def _window_out(v, w0, X, W):
     return pltpu.roll(v, X - w0, axis=1)[:, :W]
 
 
-def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, out_ref, sem,
-                        scratch, *, X, ND, C, R, W, spec):
+def _unpack_window(v, w0, X, W, R):
+    """[R, W] window at lane offset w0 -> [R, X] frame, NEG outside."""
+    if W == X:
+        return v
+    padded = jnp.concatenate([v, jnp.full((R, X - W), NEG, jnp.float32)],
+                             axis=1)
+    return pltpu.roll(padded, w0, axis=1)
+
+
+def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
+                        R, W, spec):
     """One group of R reads: full forward pass over ND diagonals.  Each
-    diagonal is streamed to HBM band-locally as an [3, R, W] window at the
+    diagonal is streamed to HBM band-locally as an [S, R, W] window at the
     group window start winf[0, 0, d] (band ⊆ window by construction), which
     keeps the forward tensor and its DMA X/W times smaller.  The emission
-    formulas and transition combines come from the machine `spec`."""
+    formulas and transition combines come from the machine `spec`; specs
+    with STREAMED=True read per-diagonal emission windows from an HBM
+    stream instead of computing them (HDP density tables)."""
+    streamed = getattr(spec, "STREAMED", False)
+    if streamed:
+        est_ref, out_ref, sem, scratch, escr = rest
+    else:
+        est_ref = escr = None
+        out_ref, sem, scratch = rest
     g = pl.program_id(0)
     S = spec.S
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, X), 1).astype(jnp.float32)
@@ -384,12 +449,22 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, out_ref, sem,
         scratch[0, i] = _window_out(prev1[i], w0, X, W)
     pltpu.make_async_copy(scratch.at[0], out_ref.at[g, 0], sem.at[0]).start()
 
+    def fetch_est(d):
+        cp = pltpu.make_async_copy(est_ref.at[g, d], escr, sem.at[2])
+        cp.start()
+        cp.wait()
+        return _unpack_window(escr[:, :], winf[0, 0, d], X, W, R)
+
     def step(d, carry):
         p1 = list(carry[:S])
         p2 = list(carry[S:])
-        mean = _dyn_lane_slice(yf, 0, C - d, X)
-        noise = _dyn_lane_slice(yf, 1, C - d, X)
-        e_match, e_gapy = spec.emissions(xf, mean, noise)
+        if streamed:
+            e_match = fetch_est(d)
+            e_gapy = e_match
+        else:
+            mean = _dyn_lane_slice(yf, 0, C - d, X)
+            noise = _dyn_lane_slice(yf, 1, C - d, X)
+            e_match, e_gapy = spec.emissions(xf, mean, noise)
 
         # lower: prev1[x-1]; middle: prev2[x-1]; upper: prev1[x]
         new = spec.fwd_update(t, xf, e_match, e_gapy, p1, p2)
@@ -428,23 +503,33 @@ def _masked_lse(v, mask):
 
 
 def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
-                         fwd_ref, post_ref, tot_ref, *rest, X, ND, C, R, W,
-                         spec, with_exp=False):
+                         fwd_ref, *rest, X, ND, C, R, W, spec,
+                         with_exp=False):
+    streamed = getattr(spec, "STREAMED", False)
+    est_ref = escr = None
+    if streamed:
+        est_ref, rest = rest[0], rest[1:]
+    post_ref, tot_ref = rest[:2]
+    rest = rest[2:]
     if with_exp:
-        trans_ref, gapx_ref, sems, fscratch, pscratch = rest
+        trans_ref, gapx_ref = rest[:2]
+        rest = rest[2:]
     else:
         trans_ref = gapx_ref = None
-        sems, fscratch, pscratch = rest
+    sems, fscratch, pscratch = rest[:3]
+    if streamed:
+        escr = rest[3]
     return _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf,
-                              raggedf, fwd_ref, post_ref, tot_ref, trans_ref,
-                              gapx_ref, sems, fscratch, pscratch, X=X, ND=ND,
-                              C=C, R=R, W=W, spec=spec, with_exp=with_exp)
+                              raggedf, fwd_ref, est_ref, post_ref, tot_ref,
+                              trans_ref, gapx_ref, sems, fscratch, pscratch,
+                              escr, X=X, ND=ND, C=C, R=R, W=W, spec=spec,
+                              with_exp=with_exp)
 
 
 def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
-                       fwd_ref, post_ref, tot_ref, trans_ref, gapx_ref,
-                       sems, fscratch, pscratch, *, X, ND, C, R, W, spec,
-                       with_exp):
+                       fwd_ref, est_ref, post_ref, tot_ref, trans_ref,
+                       gapx_ref, sems, fscratch, pscratch, escr, *, X, ND,
+                       C, R, W, spec, with_exp):
     """Full backward sweep d = ND..1 with per-read end seeding.
 
     The fast path decodes posteriors from the exact full backward pass
@@ -472,6 +557,12 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         return (lane >= base) & (lane < base + width)
 
     def emissions(d):
+        if est_ref is not None:
+            cp = pltpu.make_async_copy(est_ref.at[g, d], escr, sems.at[4])
+            cp.start()
+            cp.wait()
+            e = _unpack_window(escr[:, :], winf[0, 0, d], X, W, R)
+            return e, e
         mean = _dyn_lane_slice(yf, 0, C - d, X)
         noise = _dyn_lane_slice(yf, 1, C - d, X)
         return spec.emissions(xf, mean, noise)
@@ -877,6 +968,11 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                     win=win, bands=bands, X=X, ND=ND, C=C,
                     B=B, Bp=Bp, R=R, W=W)
 
+    def _stream_args(self, sm, prep):
+        """Extra kernel inputs for STREAMED specs (HBM emission stream);
+        () for machines that compute emissions in-kernel."""
+        return ()
+
     def _widen_fn(self):
         key = ("widen",)
         if key not in self._cache:
@@ -898,16 +994,18 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             jax.device_put(prep["basef"]), jax.device_put(prep["widthf"]),
             jax.device_put(prep["seedf"]), jax.device_put(prep["raggedf"]))
         win3 = jax.device_put(prep["win"][:, None, :])
-        fwd = fwd_fn(scal, win3, xf, yf, basef, widthf)
+        extra = self._stream_args(sm, prep)  # () unless spec.STREAMED
+        fwd = fwd_fn(scal, win3, xf, yf, basef, widthf, *extra)
         out = {}
         if expectations:
             posts, totals, trans, gapx = bwd_exp_fn(
-                scal, win3, xf, yf, basef, widthf, seedf, raggedf, fwd)
+                scal, win3, xf, yf, basef, widthf, seedf, raggedf, fwd,
+                *extra)
             out["expectations"] = self._reduce_expectations(prep, trans,
                                                             gapx, totals)
         else:
             posts, totals = bwd_fn(scal, win3, xf, yf, basef, widthf,
-                                   seedf, raggedf, fwd)
+                                   seedf, raggedf, fwd, *extra)
         global _compact_jit
         if _compact_jit is None:
             import jax as _jax
@@ -972,22 +1070,27 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         win_spec = pl.BlockSpec((1, 1, NDp), lambda g: (g, 0, 0),
                                 memory_space=pltpu.SMEM)
 
-        def fwd(scal, win, xf, yf, basef, widthf):
+        streamed = getattr(self.spec, "STREAMED", False)
+        est_in = ([pl.BlockSpec(memory_space=pl.ANY)] if streamed else [])
+        est_scr = ([pltpu.VMEM((R, W), jnp.float32)] if streamed else [])
+
+        def fwd(scal, win, xf, yf, basef, widthf, *est):
             G = xf.shape[0] // R
             return pl.pallas_call(
                 fwd_kernel,
                 grid=(G,),
-                in_specs=[common_in[0], win_spec] + list(common_in[1:]),
+                in_specs=[common_in[0], win_spec] + list(common_in[1:])
+                         + est_in,
                 out_specs=pl.BlockSpec(memory_space=pl.ANY),
                 out_shape=jax.ShapeDtypeStruct((G, ND + 1, self.spec.S, R, W),
                                                jnp.float32),
                 scratch_shapes=[
-                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((3 if streamed else 2,)),
                     pltpu.VMEM((2, self.spec.S, R, W), jnp.float32),
-                ],
+                ] + est_scr,
                 compiler_params=pltpu.CompilerParams(has_side_effects=True),
                 interpret=self.interpret,
-            )(scal, win, xf, yf, basef, widthf)
+            )(scal, win, xf, yf, basef, widthf, *est)
 
         def make_bwd(with_exp):
             kern = functools.partial(_sm3_backward_kernel, X=X, ND=ND, C=C,
@@ -1012,7 +1115,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                            if with_exp else [])
 
             def bwd(scal, win, xf, yf, basef, widthf, seedf, raggedf,
-                    fwd_hbm):
+                    fwd_hbm, *est):
                 G = xf.shape[0] // R
                 return pl.pallas_call(
                     kern,
@@ -1022,18 +1125,19 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                         vspec((R, NDp)),
                         vspec((R, NDp)),
                         pl.BlockSpec(memory_space=pl.ANY),
-                    ],
+                    ] + est_in,
                     out_specs=out_specs + extra_specs,
                     out_shape=shapes(G),
                     scratch_shapes=[
-                        pltpu.SemaphoreType.DMA((4,)),
+                        pltpu.SemaphoreType.DMA((5 if streamed else 4,)),
                         pltpu.VMEM((2, self.spec.S, R, W), jnp.float32),
                         pltpu.VMEM((2, R, W), jnp.float32),
-                    ],
+                    ] + est_scr,
                     compiler_params=pltpu.CompilerParams(
                         has_side_effects=True),
                     interpret=self.interpret,
-                )(scal, win, xf, yf, basef, widthf, seedf, raggedf, fwd_hbm)
+                )(scal, win, xf, yf, basef, widthf, seedf, raggedf,
+                  fwd_hbm, *est)
 
             return jax.jit(bwd)
 
@@ -1147,6 +1251,139 @@ class VanillaPallasAligner(StrawmanPallasAligner):
             jax.device_put(prep["kxp"]), jax.device_put(prep["kxn"]),
             jax.device_put(prep["ev"]), mm4, gm4, skip60,
             np.float32(sm.t_m_to_y_not_x))
+
+
+class _HdpSpec(_StrawmanSpec):
+    """threeState machine with HDP kmer-density emissions
+    (stateMachine3HDP_cellCalculate, impl/stateMachine.c:1337-1366): same
+    topology/transitions as the strawman spec; match == gap-Y emission is a
+    spline density query, precomputed per diagonal in XLA and streamed from
+    HBM into the kernels (per-lane table gathers don't vectorize on the
+    VPU, but the density stream is exactly band-shaped)."""
+
+    STREAMED = True
+
+
+class HdpPallasAligner(StrawmanPallasAligner):
+    """SM3-HDP machine (getHdpStateMachine3) on the wavefront kernels with
+    a precomputed HBM emission stream."""
+
+    spec = _HdpSpec
+
+    def _device_features(self, sm, prep):
+        from ..constants import NUM_OF_KMERS
+        gapx_t = self._model_cache(sm, lambda sm: jax.device_put(
+            np.nan_to_num(np.asarray(sm.gap_x_log_probs, np.float32),
+                          neginf=NEG)))
+        key = ("asm", prep["C"], prep["X"])
+        if key not in self._cache:
+            C, X = prep["C"], prep["X"]
+
+            def assemble(kx, gapx):
+                kx = kx.astype(jnp.int32)
+                valid = kx <= NUM_OF_KMERS
+                safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
+                B = kx.shape[0]
+                xf = jnp.zeros((B, 9, X), jnp.float32)
+                xf = xf.at[:, 8, :].set(jnp.maximum(
+                    jnp.where(valid, gapx[safe], NEG), NEG))
+                yf = jnp.zeros((B, 2, C + X + 256), jnp.float32)
+                return xf, yf
+
+            self._cache[key] = jax.jit(assemble)
+        return self._cache[key](jax.device_put(prep["kx"]), gapx_t)
+
+    def _stream_args(self, sm, prep):
+        from ..constants import NUM_OF_KMERS
+        grid, tables, slopes = sm.nhdp.density_tables()
+        G_len = tables.shape[1]
+        X, ND, W, R = prep["X"], prep["ND"], prep["W"], prep["R"]
+        Gg = prep["Bp"] // R
+        log_density = sm.log_density
+        key = ("est", ND, W, X, R, Gg, G_len, log_density)
+        if key not in self._cache:
+            D = ND + 3
+
+            def build(win, kx, evm, tab, slo, grid0, dx, glast):
+                kx = kx.astype(jnp.int32)
+                valid = kx <= NUM_OF_KMERS
+                safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
+                Emax = evm.shape[1]
+                dd = jnp.arange(D)[:, None]
+                lanes = jnp.arange(W)[None, :]
+
+                def one(win_g, kx_r, kv_r, evm_r):
+                    x = win_g[:D, None] + lanes          # [D, W]
+                    y = dd - x
+                    xs = jnp.clip(x, 0, X - 1)
+                    k = kx_r[xs]
+                    kv = kv_r[xs]
+                    mean = evm_r[jnp.clip(y, 0, Emax - 1)]
+                    # grid_spline_interp on the even grid
+                    i = jnp.clip(((mean - grid0) / dx).astype(jnp.int32),
+                                 0, G_len - 2)
+                    y0 = tab[k, i]
+                    y1 = tab[k, i + 1]
+                    s0 = slo[k, i]
+                    s1 = slo[k, i + 1]
+                    dyv = y1 - y0
+                    a = s0 * dx - dyv
+                    b = dyv - s1 * dx
+                    tt = (mean - (grid0 + i * dx)) / dx
+                    u = 1.0 - tt
+                    midv = u * y0 + tt * y1 + tt * u * (a * u + b * tt)
+                    lo = tab[k, 0] - slo[k, 0] * (grid0 - mean)
+                    hi = (tab[k, G_len - 1]
+                          + slo[k, G_len - 1] * (mean - glast))
+                    dens = jnp.where(mean <= grid0, lo,
+                                     jnp.where(mean >= glast, hi, midv))
+                    dens = jnp.maximum(dens, 0.0)
+                    if log_density:
+                        dens = jnp.where(dens > 0.0,
+                                         jnp.log(jnp.maximum(dens, 1e-30)),
+                                         NEG)
+                    return jnp.where(kv, dens, NEG).astype(jnp.float32)
+
+                kx2 = safe.reshape(Gg, R, X)
+                kv2 = valid.reshape(Gg, R, X)
+                ev2 = evm.reshape(Gg, R, Emax)
+                est = jax.vmap(lambda wg, kg, vg, eg: jax.vmap(
+                    lambda kr, vr, er: one(wg, kr, vr, er))(kg, vg, eg))(
+                    win, kx2, kv2, ev2)
+                # [Gg, R, D, W] -> [Gg, D, R, W]
+                return est.transpose(0, 2, 1, 3)
+
+            self._cache[key] = jax.jit(build)
+        fn = self._cache[key]
+        est = fn(jax.device_put(prep["win"].astype(np.int32)),
+                 jax.device_put(prep["kx"]),
+                 jax.device_put(np.ascontiguousarray(prep["ev"][:, :, 0])),
+                 jax.device_put(np.asarray(tables, np.float32)),
+                 jax.device_put(np.asarray(slopes, np.float32)),
+                 np.float32(grid[0]), np.float32(grid[1] - grid[0]),
+                 np.float32(grid[-1]))
+        return (est,)
+
+
+class Sm4PallasAligner(StrawmanPallasAligner):
+    """4-state signal machine (getStateMachine4) on the wavefront kernels;
+    features and emissions identical to the strawman aligner."""
+
+    spec = _Sm4Spec
+
+    def _scalars(self, sm, ragged_left=False):
+        p = sm.p
+        vals = [p["gap_short_open_x"], p["gap_short_extend_x"],
+                p["gap_long_open_x"], p["gap_long_extend_x"],
+                p["gap_long_switch_to_x"],
+                p["match_continue"], p["match_from_short_gap_x"],
+                p["match_from_short_gap_y"], p["match_from_long_gap_x"],
+                p["gap_short_open_y"], p["gap_short_extend_y"]]
+        start = sm.ragged_start_vec() if ragged_left else sm.start_vec()
+        arr = np.array([vals + list(start) + list(sm.end_vec())
+                        + list(sm.ragged_end_vec())], dtype=np.float64)
+        arr = np.nan_to_num(arr, neginf=NEG)
+        return np.maximum(arr, NEG).astype(np.float32)
 
 
 class Dna5PallasAligner(StrawmanPallasAligner):

@@ -236,3 +236,76 @@ def test_dna5_pallas_matches_engine(template_model):
     golden = {(x, y) for _, x, y in
               extract_pairs_from_pallas(out, len(reads) - 1, 0.2)}
     assert golden == {(0, 0), (1, 1), (2, 4), (3, 5)}
+
+
+def test_sm4_pallas_matches_engine(template_model, fixture_reads):
+    from cpecan_tpu.models.state_machines import StateMachine4
+    from cpecan_tpu.ops.pallas_fb import Sm4PallasAligner
+
+    sm = StateMachine4(template_model)
+    params = AlignmentParams()
+    pa = Sm4PallasAligner(params, interpret=True)
+    out = pa.run(sm, fixture_reads)
+    for i, (ref, events, l_x, l_y, anchors) in enumerate(fixture_reads):
+        want = _engine_single_window(sm, ref, events, l_x, l_y, anchors,
+                                     params)
+        got = extract_pairs_from_pallas(out, i, params.threshold)
+        want_set = {(x, y) for _, x, y in want}
+        got_set = {(x, y) for _, x, y in got}
+        assert len(got_set ^ want_set) <= 1, (i, got_set ^ want_set)
+        assert len(got_set & want_set) >= 0.98 * max(len(want_set), 1)
+
+
+def test_hdp_pallas_matches_engine(template_model):
+    """SM3-HDP machine with streamed density emissions vs the engine."""
+    from cpecan_tpu.hdp.nanopore_hdp import flat_hdp_model_2
+    from cpecan_tpu.models.kmers import seq_to_kmer_indices
+    from cpecan_tpu.models.state_machines import StateMachine3Hdp
+    from cpecan_tpu.ops.pallas_fb import HdpPallasAligner
+
+    model_path = "/root/reference/models/template_median68pA.model"
+    nhdp = flat_hdp_model_2("ACGT", 6, 1.0, 1.0, 1.0, 1.0,
+                            30.0, 110.0, 120, model_path)
+    rng = np.random.default_rng(2)
+    mm = template_model.match_model
+    ref = "".join(rng.choice(list("ACGT"), 60))
+    l_x = 60 - 5
+    kidx = seq_to_kmer_indices(ref)
+    kmers_train, signals = [], []
+    for p in range(l_x):
+        for _ in range(6):
+            kmers_train.append(ref[p:p + 6])
+            signals.append(mm[kidx[p], 0] + rng.normal(0, 1.0))
+    nhdp.update_from_assignments(kmers_train, signals)
+    nhdp.execute_gibbs_sampling(num_samples=8, burn_in=200, thinning=40)
+    nhdp.finalize_distributions()
+    sm = StateMachine3Hdp(nhdp)
+
+    reads = []
+    for j in range(3):
+        n_ev = l_x - 4 * j
+        events = np.zeros((n_ev, 3))
+        for i in range(n_ev):
+            events[i, 0] = mm[kidx[min(i, l_x - 1)], 0] + rng.normal(0, 0.5)
+            events[i, 1] = 1.0
+            events[i, 2] = 0.01
+        anchors = [(i, min(i, n_ev - 2)) for i in range(8, l_x - 8, 10)]
+        filtered = []
+        px = py = -1
+        for x, y in anchors:
+            if x > px and y > py:
+                filtered.append((x, y))
+                px, py = x, y
+        reads.append((ref, events, l_x, n_ev, filtered))
+
+    params = AlignmentParams(threshold=0.1)
+    pa = HdpPallasAligner(params, interpret=True)
+    out = pa.run(sm, reads)
+    for i, (rx, events, l_x_i, l_y, anchors) in enumerate(reads):
+        want = _engine_single_window(sm, rx, events, l_x_i, l_y, anchors,
+                                     params)
+        got = extract_pairs_from_pallas(out, i, params.threshold)
+        want_set = {(x, y) for _, x, y in want}
+        got_set = {(x, y) for _, x, y in got}
+        assert len(got_set ^ want_set) <= 2, (i, got_set ^ want_set)
+        assert len(got_set & want_set) >= 0.95 * max(len(want_set), 1)
