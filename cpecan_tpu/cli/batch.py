@@ -118,6 +118,10 @@ def signal_align_batch_main(argv=None):
         if args.stateMachineType != "threeState":
             p.error("--engine pallas requires -smt threeState")
         if args.nb_files is not None:
+            # same seeded shuffle-then-slice as the scan path
+            # (scripts/signalAlign.py culling semantics)
+            import random as _random
+            _random.Random(0).shuffle(pairs)
             pairs = pairs[:args.nb_files]
         results = run_batch_fast(
             ref_path, pairs, args.output_location,

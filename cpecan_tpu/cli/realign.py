@@ -292,22 +292,45 @@ def main(argv=None, stdin=None, stdout=None):
 
     if args.engine == "pallas" and deferred:
         import jax
-        from ..ops.pallas_fb import (Dna5PallasAligner,
-                                     extract_pairs_compact)
-        jobs = [(sx, sy, len(sx), len(sy), fa)
-                for _aln, sx, sy, _a, fa, *_ in deferred]
+        from ..ops.anchors import get_split_points
+        from ..ops.pallas_fb import Dna5PallasAligner, extract_pairs_auto
+
+        # large-gap splitting happens host-side, same as the scan engine
+        # (getPosteriorProbsWithBandingSplittingAlignmentsByLargeGaps);
+        # each split region becomes its own kernel job
+        jobs = []
+        job_owner = []  # (deferred index, x1 offset, y1 offset)
+        for di, (_aln, sub_x, sub_y, _a, fa, *_rest) in enumerate(deferred):
+            split_points = get_split_points(
+                fa, len(sub_x), len(sub_y),
+                params.split_matrix_bigger_than_this, True, True)
+            j = 0
+            for (x1, y1, x2, y2) in split_points:
+                sub_anchors = []
+                while j < len(fa):
+                    ax, ay = fa[j]
+                    if ax + ay >= x2 + y2:
+                        break
+                    sub_anchors.append((ax - x1, ay - y1))
+                    j += 1
+                if x2 - x1 <= 0 or y2 - y1 <= 0:
+                    continue  # degenerate region: no match cells exist
+                jobs.append((sub_x[x1:x2], sub_y[y1:y2], x2 - x1, y2 - y1,
+                             sub_anchors))
+                job_owner.append((di, x1, y1))
         pa = Dna5PallasAligner(params,
                                interpret=jax.default_backend() == "cpu")
         out = pa.run(sm, jobs, ragged_left=True, ragged_right=True)
-        vals, idx = out["compact"]
-        vals, idx = np.asarray(vals), np.asarray(idx)
-        for i, (aln, sub_x, sub_y, anchors, _fa, shift1, flip1, shift2,
-                flip2) in enumerate(deferred):
-            aligned_pairs = extract_pairs_compact(
-                vals, idx, i, out["prep"]["bands"][i].n_diag, out["prep"],
-                params.threshold)
+        out["compact"] = tuple(np.asarray(a) for a in out["compact"])
+        per_aln = [[] for _ in deferred]
+        for i, (di, x1, y1) in enumerate(job_owner):
+            sub_pairs = extract_pairs_auto(
+                out, i, out["prep"]["bands"][i].n_diag, params.threshold)
+            per_aln[di].extend((s, x + x1, y + y1) for s, x, y in sub_pairs)
+        for di, (aln, sub_x, sub_y, anchors, _fa, shift1, flip1, shift2,
+                 flip2) in enumerate(deferred):
             _finish_alignment(args, params, stdout, aln, sub_x, sub_y,
-                              anchors, aligned_pairs, shift1, flip1,
+                              anchors, per_aln[di], shift1, flip1,
                               shift2, flip2)
 
     if hmm_expectations is not None:

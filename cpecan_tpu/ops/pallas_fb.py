@@ -243,6 +243,9 @@ class _Sm4Spec(_StrawmanSpec):
     S = 4
     NS = 11
     NXF = 9
+    # the inherited strawman exp_probs indexes the wrong scalars under this
+    # layout; expectations stay on the scan engine for SM4
+    EXP_LANES = None
 
     @staticmethod
     def fwd_update(t, xf, e_match, e_gapy, p1, p2):
@@ -1093,6 +1096,13 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             )(scal, win, xf, yf, basef, widthf, *est)
 
         def make_bwd(with_exp):
+            if with_exp and getattr(self.spec, "EXP_LANES", None) is None:
+                def unsupported(*_a, **_k):
+                    raise NotImplementedError(
+                        f"{self.spec.__name__} does not support in-kernel "
+                        "expectations; use the scan engine "
+                        "(get_expectations_using_anchors)")
+                return unsupported
             kern = functools.partial(_sm3_backward_kernel, X=X, ND=ND, C=C,
                                      R=R, W=W, spec=self.spec,
                                      with_exp=with_exp)
@@ -1293,10 +1303,25 @@ class HdpPallasAligner(StrawmanPallasAligner):
             self._cache[key] = jax.jit(assemble)
         return self._cache[key](jax.device_put(prep["kx"]), gapx_t)
 
+    def _hdp_tables(self, sm):
+        def build(sm):
+            grid, tables, slopes = sm.nhdp.density_tables()
+            return (np.asarray(grid),
+                    jax.device_put(np.asarray(tables, np.float32)),
+                    jax.device_put(np.asarray(slopes, np.float32)))
+
+        key = ("hdp_tables", id(sm))
+        lru = self._cache.setdefault("models", {})
+        if key not in lru or lru[key][0] is not sm:
+            lru[key] = (sm, build(sm))
+            while len(lru) > 8:
+                lru.pop(next(iter(lru)))
+        return lru[key][1]
+
     def _stream_args(self, sm, prep):
         from ..constants import NUM_OF_KMERS
-        grid, tables, slopes = sm.nhdp.density_tables()
-        G_len = tables.shape[1]
+        grid, tables_dev, slopes_dev = self._hdp_tables(sm)
+        G_len = int(tables_dev.shape[1])
         X, ND, W, R = prep["X"], prep["ND"], prep["W"], prep["R"]
         Gg = prep["Bp"] // R
         log_density = sm.log_density
@@ -1358,8 +1383,7 @@ class HdpPallasAligner(StrawmanPallasAligner):
         est = fn(jax.device_put(prep["win"].astype(np.int32)),
                  jax.device_put(prep["kx"]),
                  jax.device_put(np.ascontiguousarray(prep["ev"][:, :, 0])),
-                 jax.device_put(np.asarray(tables, np.float32)),
-                 jax.device_put(np.asarray(slopes, np.float32)),
+                 tables_dev, slopes_dev,
                  np.float32(grid[0]), np.float32(grid[1] - grid[0]),
                  np.float32(grid[-1]))
         return (est,)
@@ -1424,10 +1448,16 @@ class Dna5PallasAligner(StrawmanPallasAligner):
 
     def _model_tables(self, sm):
         from ..models.state_machines import _extend_tables_with_n
-        return self._model_cache(sm, lambda sm: tuple(
-            jax.device_put(np.asarray(v, np.float32))
-            for v in _extend_tables_with_n(sm.match_table, sm.gap_x_table,
-                                           sm.gap_y_table)))
+
+        def build(sm):
+            match5, gapx5, gapy5 = _extend_tables_with_n(
+                sm.match_table, sm.gap_x_table, sm.gap_y_table)
+            gapy5_h = np.maximum(np.nan_to_num(gapy5, neginf=NEG), NEG)
+            return (jax.device_put(np.asarray(match5, np.float32)),
+                    jax.device_put(np.asarray(gapx5, np.float32)),
+                    gapy5_h)  # host copy: consumed by the y-feature builder
+
+        return self._model_cache(sm, build)
 
     def _assemble_fn(self, C, Y):
         key = ("asm", C, Y)
@@ -1452,14 +1482,8 @@ class Dna5PallasAligner(StrawmanPallasAligner):
 
     def _device_features(self, sm, prep):
         from ..models import kmers as K
-        from ..models.state_machines import _extend_tables_with_n
 
-        match5, gapx5, gapy5 = self._model_tables(sm)
-        # y rows need the (host) gap-Y table; fill them here where sm is
-        # in scope (prepare() is machine-agnostic)
-        _, _, gapy5_h = _extend_tables_with_n(
-            sm.match_table, sm.gap_x_table, sm.gap_y_table)
-        gapy5_h = np.maximum(np.nan_to_num(gapy5_h, neginf=NEG), NEG)
+        match5, gapx5, gapy5_h = self._model_tables(sm)
         ev = prep["ydata"]
         ev[:, 0, 0] = 4.0
         ev[:, 0, 1] = gapy5_h[4]
@@ -1532,4 +1556,31 @@ def extract_pairs_compact(vals, idx, read_idx, n_diag, prep, threshold):
         x = int(win[g, d]) + l
         pairs.append((int(np.floor(min(float(p), 1.0) * PAIR_ALIGNMENT_PROB_1)),
                       x - 1, d - x - 1))
+    return pairs
+
+
+def extract_pairs_auto(out, read_idx, n_diag, threshold):
+    """Pair extraction that detects top-k saturation: when every one of a
+    read's k compacted cells clears the threshold, pairs may have been
+    dropped — fall back to that read's full windowed posterior plane (one
+    [ND+1, W] device->host slice)."""
+    from ..constants import PAIR_ALIGNMENT_PROB_1
+    vals, idx = out["compact"]
+    prep = out["prep"]
+    R = prep["R"]
+    g, r = divmod(read_idx, R)
+    v = np.asarray(vals[g, r])
+    if v.size == 0 or v[-1] < threshold:
+        return extract_pairs_compact(vals, idx, read_idx, n_diag, prep,
+                                     threshold)
+    # saturated: extract from the full posterior plane for this read
+    win = prep["win"]
+    sub = np.asarray(out["posteriors"][g, : n_diag + 1, r])
+    pairs = []
+    d_idx, l_idx = np.nonzero(sub >= threshold)
+    for d, l in zip(d_idx, l_idx):
+        p = min(float(sub[d, l]), 1.0)
+        x = int(win[g, d]) + int(l)
+        pairs.append((int(np.floor(p * PAIR_ALIGNMENT_PROB_1)),
+                      x - 1, int(d) - x - 1))
     return pairs

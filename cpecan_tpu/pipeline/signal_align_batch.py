@@ -96,7 +96,7 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
     from ..models.hmm import ContinuousPairHmm
     from ..models.state_machines import StateMachine3SignalStrawman
     from ..ops.anchors import filter_to_remove_overlap
-    from ..ops.pallas_fb import StrawmanPallasAligner, extract_pairs_compact
+    from ..ops.pallas_fb import StrawmanPallasAligner, extract_pairs_auto
 
     params = params or AlignmentParams(threshold=threshold)
     os.makedirs(out_dir, exist_ok=True)
@@ -137,18 +137,32 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
         anchors = filter_to_remove_overlap(sorted(
             convert_alignment_to_anchor_pairs(
                 aln2, params.constraint_diagonal_trim)))
-        for strand, target, events, emap, npp in (
-                (TEMPLATE, trimmed, t_events,
-                 np_read.template_event_map, np_read.template_params),
-                (COMPLEMENT, rc_trimmed, c_events,
-                 np_read.complement_event_map,
-                 np_read.complement_params)):
-            l_x = max(len(target) - (KMER_LENGTH - 1), 0)
-            remapped = get_remapped_anchor_pairs(anchors, emap, map_offset)
-            jobs[strand].append((target, events, l_x, len(events),
-                                 remapped))
-            sps[strand].append([npp.scale, npp.shift, npp.var,
-                                npp.scale_sd, npp.var_sd])
+        try:
+            strand_jobs = []
+            for strand, target, events, emap, npp in (
+                    (TEMPLATE, trimmed, t_events,
+                     np_read.template_event_map, np_read.template_params),
+                    (COMPLEMENT, rc_trimmed, c_events,
+                     np_read.complement_event_map,
+                     np_read.complement_params)):
+                l_x = max(len(target) - (KMER_LENGTH - 1), 0)
+                remapped = get_remapped_anchor_pairs(anchors, emap,
+                                                     map_offset)
+                # validate the band geometry now so one bad read can't
+                # abort the whole strand batch inside the kernel prepare
+                from ..ops.band import make_band
+                make_band(remapped, l_x, len(events),
+                          params.diagonal_expansion)
+                strand_jobs.append((strand, (target, events, l_x,
+                                             len(events), remapped),
+                                    [npp.scale, npp.shift, npp.var,
+                                     npp.scale_sd, npp.var_sd]))
+        except Exception as exc:  # skip unalignable reads, keep the batch
+            log(f"skipping {label}: {exc}")
+            continue
+        for strand, job, sp in strand_jobs:
+            jobs[strand].append(job)
+            sps[strand].append(sp)
         meta.append(dict(label=label, np_read=np_read, forward=forward,
                          contig=contig, trimmed=trimmed,
                          rc_trimmed=rc_trimmed, r_shift=r_shift,
@@ -194,10 +208,9 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
         with open(tsv, "w") as fh:
             for strand in (TEMPLATE, COMPLEMENT):
                 out = outs[strand]
-                vals, idx = out["compact"]
-                pairs = extract_pairs_compact(
-                    vals, idx, i, out["prep"]["bands"][i].n_diag,
-                    out["prep"], params.threshold)
+                pairs = extract_pairs_auto(
+                    out, i, out["prep"]["bands"][i].n_diag,
+                    params.threshold)
                 pairs.sort(key=lambda t: t[1] + t[2])
                 n_pairs[strand] = len(pairs)
                 npp = (m["np_read"].template_params if strand == TEMPLATE
