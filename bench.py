@@ -33,6 +33,17 @@ FIRST_RECORDED = 10.2  # alignments/s, r1 XLA-scan engine on this chip
 
 def main():
     sys.path.insert(0, ".")
+    import os
+    import jax
+    # persistent compilation cache: repeated bench/driver runs skip the
+    # 20-40s kernel compiles
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from __graft_entry__ import _synthetic_batch
     from cpecan_tpu.align import AlignmentParams
     from cpecan_tpu.ops.pallas_fb import StrawmanPallasAligner
