@@ -399,6 +399,25 @@ class _VanillaSpec:
         bw_y = _log_add(mid + t[VA_YM], up + t[VA_YY])
         return [bw_m, bw_x, bw_y]
 
+    # EM expectations (cell_signal_updateBetaAndAlphaProb,
+    # impl/pairwiseAligner.c:493-513): only the per-skip-bin beta (M->X)
+    # and alpha (X->X) posterior masses are accumulated, per column
+    EXP_LANES = {}
+    EXP_NACC = 2
+
+    @staticmethod
+    def exp_probs(t, xf, em_t, eg_t, f0, f1, bw2, total):
+        la_mx = xf[:, 8, :]
+        la_xx = xf[:, 9, :]
+
+        def p(logp):
+            return jnp.exp(jnp.minimum(logp - total, 10.0))
+
+        low = bw2[1]  # target shortGapX at (d+2, x); silent (no emission)
+        p_beta = p(_shift_right(f1[0]) + la_mx + low)
+        p_alpha = p(_shift_right(f1[1]) + la_xx + low)
+        return {}, (p_beta, p_alpha)
+
 
 def _window_out(v, w0, X, W):
     """[R, X] tile -> its [R, W] band-local window at lane offset w0."""
@@ -586,18 +605,22 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
 
+    NACC = getattr(spec, "EXP_NACC", 1)
+
     def accumulate_exp(d_target, em_t, eg_t, f0, f1, bw2, total, trans_c,
                        gapx_acc):
         """Posterior transition counts for one target diagonal, into the
-        per-transition lane accumulator and the per-column gap-X
-        accumulator (kmer scatter happens post-kernel)."""
-        probs, gapx_sum = spec.exp_probs(t, xf, em_t, eg_t, f0, f1, bw2,
+        per-transition lane accumulator and the per-column accumulators
+        (the kmer/bin scatter happens post-kernel)."""
+        probs, contribs = spec.exp_probs(t, xf, em_t, eg_t, f0, f1, bw2,
                                          total)
         m = band(d_target).astype(jnp.float32)
         for name, idx in spec.EXP_LANES.items():
             tot = jnp.sum(probs[name] * m, axis=1, keepdims=True)
             trans_c = trans_c + jnp.where(lane128 == idx, tot, 0.0)
-        gapx_acc = gapx_acc + gapx_sum * m
+        if NACC == 1 and not isinstance(contribs, (tuple, list)):
+            contribs = (contribs,)
+        gapx_acc = tuple(a + c * m for a, c in zip(gapx_acc, contribs))
         return trans_c, gapx_acc
 
     def step(s, carry):
@@ -606,7 +629,8 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         n1 = list(carry[:S])
         n2 = list(carry[S:2 * S])
         f1 = list(carry[2 * S:3 * S])
-        total, em2, eg2, trans_c, gapx_acc = carry[3 * S:]
+        total, em2, eg2, trans_c = carry[3 * S:3 * S + 4]
+        gapx_acc = tuple(carry[3 * S + 4:])
         d = ND - s
         # per-read seed/ragged flags as exact 0/1 columns (lane-replicated
         # reduction outputs); applied arithmetically — selects with [R,1]
@@ -693,7 +717,7 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                               sems.at[pslot]).start()
 
         return (tuple(bw) + tuple(n1) + tuple(f)
-                + (total, em1, eg1, trans_c, gapx_acc))
+                + (total, em1, eg1, trans_c) + tuple(gapx_acc))
 
     em_init, eg_init = emissions(ND + 2)
     zero128 = jnp.zeros((R, 128), jnp.float32) + 0.0 * lane128.astype(
@@ -702,12 +726,13 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     carry = ((neg,) * (3 * S)
              + (jnp.full((R, 1), NEG, jnp.float32),
                 em_init + 0.0 * lane, eg_init + 0.0 * lane,
-                zero128, zeroX))
+                zero128) + (zeroX,) * NACC)
     carry = jax.lax.fori_loop(0, ND, step, carry)
     n1 = list(carry[:S])
     n2 = list(carry[S:2 * S])
     f1 = list(carry[2 * S:3 * S])
-    total, em2, eg2, trans_c, gapx_acc = carry[3 * S:]
+    total, em2, eg2, trans_c = carry[3 * S:3 * S + 4]
+    gapx_acc = tuple(carry[3 * S + 4:])
     tot_ref[0] = total + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
 
     if with_exp:
@@ -734,7 +759,8 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         trans_c, gapx_acc = accumulate_exp(
             1, em1t, eg1t, [neg] * S, f0, n1, total, trans_c, gapx_acc)
         trans_ref[0] = trans_c
-        gapx_ref[0] = gapx_acc
+        for j in range(NACC):
+            gapx_ref[0, j] = gapx_acc[j]
 
     pltpu.make_async_copy(pscratch.at[(ND - 1) % 2], post_ref.at[g, 1],
                           sems.at[(ND - 1) % 2]).wait()
@@ -1004,8 +1030,9 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             posts, totals, trans, gapx = bwd_exp_fn(
                 scal, win3, xf, yf, basef, widthf, seedf, raggedf, fwd,
                 *extra)
-            out["expectations"] = self._reduce_expectations(prep, trans,
-                                                            gapx, totals)
+            out["expectations"] = self._reduce_expectations(sm, prep,
+                                                            trans, gapx,
+                                                            totals)
         else:
             posts, totals = bwd_fn(scal, win3, xf, yf, basef, widthf,
                                    seedf, raggedf, fwd, *extra)
@@ -1018,7 +1045,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                    prep=prep)
         return out
 
-    def _reduce_expectations(self, prep, trans, gapx, totals):
+    def _reduce_expectations(self, sm, prep, trans, gapx, totals):
         """Device-side post-processing of the kernel's expectation
         accumulators: [G, R, 128] transition lanes -> [B, 3, 3]; per-column
         gap-X mass scattered to per-kmer counters by the column's kmer
@@ -1033,7 +1060,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             idx = jnp.clip(kx, 0, NUM_OF_KMERS + 1).reshape(G * R, -1)
             seg = jax.vmap(
                 lambda vals, ids: jnp.zeros(NUM_OF_KMERS + 2).at[ids].add(
-                    vals))(gapx.reshape(G * R, -1), idx)
+                    vals))(gapx[:, 0].reshape(G * R, -1), idx)
             return tr, seg, totals.reshape(G * R, -1)[:, 0]
 
         tr, seg, tot = jax.jit(reduce_fn)(trans, gapx, kx, totals)
@@ -1115,12 +1142,16 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                 out = [jax.ShapeDtypeStruct((G, ND + 1, R, W), jnp.float32),
                        jax.ShapeDtypeStruct((G, R, 128), jnp.float32)]
                 if with_exp:
+                    nacc = getattr(self.spec, "EXP_NACC", 1)
                     out += [jax.ShapeDtypeStruct((G, R, 128), jnp.float32),
-                            jax.ShapeDtypeStruct((G, R, X), jnp.float32)]
+                            jax.ShapeDtypeStruct((G, nacc, R, X),
+                                                 jnp.float32)]
                 return out
+            nacc = getattr(self.spec, "EXP_NACC", 1)
             extra_specs = ([pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0),
                                          memory_space=pltpu.VMEM),
-                            pl.BlockSpec((1, R, X), lambda g: (g, 0, 0),
+                            pl.BlockSpec((1, nacc, R, X),
+                                         lambda g: (g, 0, 0, 0),
                                          memory_space=pltpu.VMEM)]
                            if with_exp else [])
 
@@ -1207,27 +1238,40 @@ class VanillaPallasAligner(StrawmanPallasAligner):
             jax.device_put(np.asarray(sm.skip_bin_probs, np.float32)),
         ))
 
-    def _assemble_fn(self, C, Y):
-        key = ("asm", C, Y)
+    def _assemble_fn(self, C, Y, scaled=False):
+        key = ("asm", C, Y, scaled)
         if key in self._cache:
             return self._cache[key]
         from ..constants import NUM_OF_KMERS
 
-        def assemble(kxp, kxn, ev, mm4, gm4, skip60, t_m2y):
+        def assemble(kxp, kxn, ev, sp, mm4, gm4, skip60, t_m2y):
             kx = kxn.astype(jnp.int32)
             valid = kx <= NUM_OF_KMERS
             safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
-            rows = [jnp.where(valid, mm4[safe, c], 0.0) for c in range(4)]
+            if sp is None:
+                rows = [jnp.where(valid, mm4[safe, c], 0.0)
+                        for c in range(4)]
+                scale = 1.0
+            else:
+                # emissions_signal_scaleModel on device: match model rows
+                # (lvl_mu, lvl_sd, nz_mu, nz_lambda) per-read scaled
+                scale = sp[:, 0:1]
+                rows = [jnp.where(valid, mm4[safe, 0] * scale + sp[:, 1:2],
+                                  0.0),
+                        jnp.where(valid, mm4[safe, 1] * sp[:, 2:3], 0.0),
+                        jnp.where(valid, mm4[safe, 2] * sp[:, 3:4], 0.0),
+                        jnp.where(valid, mm4[safe, 3] * sp[:, 4:5], 0.0)]
             rows += [jnp.where(valid, gm4[safe, c], 0.0) for c in range(4)]
 
             # skip bins from |Δ level mean| in 0.5 pA steps, clamped to 29
-            # (emissions_signal_getKmerSkipBin, impl/stateMachine.c:389-420)
+            # (emissions_signal_getKmerSkipBin, impl/stateMachine.c:389-420);
+            # under per-read scaling the deltas scale too (shift cancels)
             def level_mean(idx):
                 idx = idx.astype(jnp.int32)
                 m = mm4[jnp.clip(idx, 0, NUM_OF_KMERS - 1), 0]
                 return jnp.where(idx > NUM_OF_KMERS, 0.0, m)
 
-            d = jnp.abs(level_mean(kxn) - level_mean(kxp))
+            d = jnp.abs(level_mean(kxn) - level_mean(kxp)) * scale
             b = jnp.minimum((d / 0.5).astype(jnp.int32), 29)
             a_mx = skip60[b]
             a_xx = skip60[b + 30]
@@ -1248,19 +1292,61 @@ class VanillaPallasAligner(StrawmanPallasAligner):
             yf = yf.at[:, 1, C - n + 1:C + 1].set(ev[:, :n, 1][:, ::-1])
             return xf, yf
 
-        fn = jax.jit(assemble, static_argnums=())
+        if scaled:
+            fn = jax.jit(assemble)
+        else:
+            fn = jax.jit(lambda kxp, kxn, ev, mm4, gm4, skip60, t_m2y:
+                         assemble(kxp, kxn, ev, None, mm4, gm4, skip60,
+                                  t_m2y))
         self._cache[key] = fn
         return fn
 
     def _device_features(self, sm, prep):
-        if "sp" in prep:
-            raise NotImplementedError("per-read scale params are not yet "
-                                      "supported on the vanilla kernel")
         mm4, gm4, skip60 = self._model_tables(sm)
-        return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256)(
-            jax.device_put(prep["kxp"]), jax.device_put(prep["kxn"]),
-            jax.device_put(prep["ev"]), mm4, gm4, skip60,
-            np.float32(sm.t_m_to_y_not_x))
+        sp = prep.get("sp")
+        args = [jax.device_put(prep["kxp"]), jax.device_put(prep["kxn"]),
+                jax.device_put(prep["ev"])]
+        if sp is not None:
+            args.append(jax.device_put(sp))
+        return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256,
+                                 scaled=sp is not None)(
+            *args, mm4, gm4, skip60, np.float32(sm.t_m_to_y_not_x))
+
+    def _reduce_expectations(self, sm, prep, trans, gapx, totals):
+        """Vanilla EM: per-column beta/alpha posterior masses scattered to
+        the 60 skip bins (vanillaHmm kmer-skip expectations,
+        impl/continuousHmm.c:410-426).  Bins recomputed host-side with the
+        same per-read scaling as the device assembly."""
+        from ..io.poremodel import kmer_skip_bin_table
+        B, R, X = prep["B"], prep["R"], prep["X"]
+        Bp = prep["Bp"]
+        G = Bp // R
+        kxp = prep["kxp"].astype(np.int64)
+        kxn = prep["kxn"].astype(np.int64)
+        mm = sm.model.match_model
+        # per-read scale factor applied to the level-mean deltas
+        scale = (prep["sp"][:, 0] if "sp" in prep
+                 else np.ones(Bp, np.float64))
+
+        def mean(idx):
+            safe = np.clip(idx, 0, mm.shape[0] - 1)
+            return np.where(idx > mm.shape[0], 0.0, mm[safe, 0])
+
+        d = np.abs(mean(kxn) - mean(kxp)) * scale[:, None]
+        bins = np.minimum((d / 0.5).astype(np.int64), 29)
+        # [G, 2, R, X] -> [G*R, 2, X]
+        gapx_h = np.asarray(gapx).transpose(0, 2, 1, 3).reshape(
+            G * R, 2, X)[:Bp]
+        skip = np.zeros((Bp, 60))
+        rows = np.repeat(np.arange(Bp)[:, None], X, axis=1)
+        np.add.at(skip, (rows, bins), gapx_h[:, 0, :])       # beta
+        np.add.at(skip, (rows, bins + 30), gapx_h[:, 1, :])  # alpha
+        n_diag = np.asarray([b.n_diag for b in prep["bands"]])
+        tot = np.asarray(totals).reshape(G * R, -1)[:Bp, 0]
+        return {
+            "skip_bins": skip[:B],
+            "likelihood": tot[:B] * n_diag,
+        }
 
 
 class _HdpSpec(_StrawmanSpec):

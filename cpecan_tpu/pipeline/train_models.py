@@ -29,7 +29,7 @@ class TrainOptions:
     threshold: float = 0.01
     params: AlignmentParams = field(default_factory=AlignmentParams)
     # 'scan' runs the reference-faithful per-read engine; 'pallas' batches
-    # the whole E-step through the wavefront kernel (threeState only,
+    # the whole E-step through the wavefront kernel (threeState/vanilla,
     # ~12x faster, no large-gap splitting inside one read)
     engine: str = "scan"
 
@@ -68,30 +68,43 @@ def add_and_norm_expectations(hmms, sm_type):
 def _pallas_strand_expectations(model_file, hmm_file, jobs, sps, options,
                                 pa):
     """Batched E-step for one strand through the wavefront kernel
-    (StrawmanPallasAligner.run(expectations=True)): one kernel launch for
-    the whole strand instead of a per-read engine pass; per-read model
-    scaling happens on device.  ``pa`` is shared across EM iterations so
-    its compiled-kernel and feature-assembly caches hit."""
-    from ..io.poremodel import load_pore_model
-    from ..models.state_machines import StateMachine3SignalStrawman
+    (run(expectations=True)): one kernel launch for the whole strand
+    instead of a per-read engine pass; per-read model scaling happens on
+    device.  ``pa`` is shared across EM iterations so its compiled-kernel
+    and feature-assembly caches hit."""
+    from ..io.poremodel import load_pore_model, scale_model
+    from ..models.state_machines import (StateMachine3SignalStrawman,
+                                         StateMachine3Vanilla)
 
     model = load_pore_model(model_file)
-    params = gap_x = None
-    if hmm_file:
-        hmm = ContinuousPairHmm.load(hmm_file)
-        params, gap_x = hmm.to_sm3_params()
-    sm = StateMachine3SignalStrawman(model, params=params,
-                                     gap_x_log_probs=gap_x)
+    if options.sm_type == "vanilla":
+        skip_bins = None
+        if hmm_file:
+            skip_bins = VanillaHmm.load(hmm_file).kmer_skip_bins
+        sm = StateMachine3Vanilla(model, skip_bin_probs=skip_bins)
+    else:
+        params = gap_x = None
+        if hmm_file:
+            hmm = ContinuousPairHmm.load(hmm_file)
+            params, gap_x = hmm.to_sm3_params()
+        sm = StateMachine3SignalStrawman(model, params=params,
+                                         gap_x_log_probs=gap_x)
     out = pa.run(sm, jobs, expectations=True,
                  scale_params=np.asarray(sps, np.float64),
                  ragged_left=True, ragged_right=True)
     exp = out["expectations"]
     accs = []
     for i in range(len(jobs)):
-        h = ContinuousPairHmm(pseudocount=0.0001)
-        h.add_expectations({"trans": exp["trans"][i],
-                            "kmer_gap": exp["kmer_gap"][i],
-                            "likelihood": exp["likelihood"][i]})
+        if options.sm_type == "vanilla":
+            h = VanillaHmm(pseudocount=0.0001)
+            h.implant_match_models(scale_model(model, *sps[i]))
+            h.kmer_skip_bins += np.asarray(exp["skip_bins"][i])
+            h.likelihood += float(exp["likelihood"][i])
+        else:
+            h = ContinuousPairHmm(pseudocount=0.0001)
+            h.add_expectations({"trans": exp["trans"][i],
+                                "kmer_gap": exp["kmer_gap"][i],
+                                "likelihood": exp["likelihood"][i]})
         accs.append(h)
     return accs
 
@@ -139,12 +152,16 @@ def train(reference_path, read_guide_pairs, template_model, complement_model,
                 log(f"resumed from checkpoint at iteration {step}")
     pallas_aligner = None
     if options.engine == "pallas":
-        if options.sm_type != "threeState":
-            raise ValueError("engine='pallas' supports sm_type='threeState'")
+        if options.sm_type not in ("threeState", "vanilla"):
+            raise ValueError("engine='pallas' supports sm_type "
+                             "'threeState' or 'vanilla'")
         import jax
-        from ..ops.pallas_fb import StrawmanPallasAligner
-        pallas_aligner = StrawmanPallasAligner(
-            options.params, interpret=jax.default_backend() == "cpu")
+        from ..ops.pallas_fb import (StrawmanPallasAligner,
+                                     VanillaPallasAligner)
+        cls = (VanillaPallasAligner if options.sm_type == "vanilla"
+               else StrawmanPallasAligner)
+        pallas_aligner = cls(options.params,
+                             interpret=jax.default_backend() == "cpu")
 
     t_merged = c_merged = None
     for iteration in range(start_iteration, options.iterations):

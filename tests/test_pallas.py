@@ -309,3 +309,30 @@ def test_hdp_pallas_matches_engine(template_model):
         got_set = {(x, y) for _, x, y in got}
         assert len(got_set ^ want_set) <= 2, (i, got_set ^ want_set)
         assert len(got_set & want_set) >= 0.95 * max(len(want_set), 1)
+
+
+def test_vanilla_pallas_expectations_match_engine(template_model,
+                                                  fixture_reads):
+    """Vanilla EM accumulators (beta/alpha skip-bin masses) on the kernel
+    vs the engine's signal expectation pass."""
+    from cpecan_tpu.align import get_expectations_using_anchors
+    from cpecan_tpu.models.state_machines import StateMachine3Vanilla
+    from cpecan_tpu.ops.pallas_fb import VanillaPallasAligner
+
+    sm = StateMachine3Vanilla(template_model)
+    params = AlignmentParams()
+    pa = VanillaPallasAligner(params, interpret=True)
+    out = pa.run(sm, fixture_reads, expectations=True, ragged_left=True,
+                 ragged_right=True)
+    exp = out["expectations"]
+    assert exp["skip_bins"].shape == (len(fixture_reads), 60)
+    for i, (ref, events, l_x, l_y, anchors) in enumerate(fixture_reads):
+        acc = get_expectations_using_anchors(
+            sm, ref, events, l_x, l_y, anchors, params, ragged_left=True,
+            ragged_right=True)
+        want = np.asarray(acc["skip_bins"])
+        got = exp["skip_bins"][i]
+        np.testing.assert_allclose(got.sum(), want.sum(), rtol=5e-3)
+        big = want > 1e-2
+        np.testing.assert_allclose(got[big], want[big], rtol=2e-2,
+                                   atol=5e-3)

@@ -65,9 +65,10 @@ def test_blast_scoring_matrix(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("sm_type", ["threeState", "vanilla"])
 def test_train_models_pallas_engine_matches_scan(tmp_path,
                                                  zymo_reference_seq,
-                                                 zymo_npread):
+                                                 zymo_npread, sm_type):
     """trainModels E-step through the wavefront kernel vs the scan engine:
     same M-step fixed point (normalized transitions) on the Zymo read."""
     from cpecan_tpu.io.cigar import parse_cigar_line
@@ -81,24 +82,33 @@ def test_train_models_pallas_engine_matches_scan(tmp_path,
     ref_file.write_text(zymo_reference_seq + "\n")
     pairs = [(NPREAD, guide)]
 
+    from cpecan_tpu.models.hmm import VanillaHmm
+
     results = {}
     for engine in ("scan", "pallas"):
-        opts = TrainOptions(sm_type="threeState", iterations=2,
-                            engine=engine)
-        out_t = tmp_path / f"t_{engine}.hmm"
-        out_c = tmp_path / f"c_{engine}.hmm"
+        opts = TrainOptions(sm_type=sm_type, iterations=2, engine=engine)
+        out_t = tmp_path / f"t_{sm_type}_{engine}.hmm"
+        out_c = tmp_path / f"c_{sm_type}_{engine}.hmm"
         t_hmm, c_hmm, traj = train(str(ref_file), pairs, TMODEL, CMODEL,
                                    str(out_t), str(out_c), opts,
                                    log=lambda m: None)
-        results[engine] = ContinuousPairHmm.load(str(out_t))
+        loader = VanillaHmm if sm_type == "vanilla" else ContinuousPairHmm
+        results[engine] = loader.load(str(out_t))
         assert len(traj) == 2
-    np.testing.assert_allclose(results["pallas"].transitions,
-                               results["scan"].transitions,
-                               rtol=0.05, atol=5e-3)
-    np.testing.assert_allclose(
-        results["pallas"].kmer_gap_probs.sum(),
-        results["scan"].kmer_gap_probs.sum(), rtol=1e-6)  # both normalized
-    top = np.argsort(results["scan"].kmer_gap_probs)[-20:]
-    np.testing.assert_allclose(results["pallas"].kmer_gap_probs[top],
-                               results["scan"].kmer_gap_probs[top],
-                               rtol=0.1, atol=1e-4)
+    if sm_type == "vanilla":
+        ps = results["pallas"].kmer_skip_bins
+        ss = results["scan"].kmer_skip_bins
+        np.testing.assert_allclose(ps.sum(), ss.sum(), rtol=1e-4)
+        big = ss > 1e-3
+        np.testing.assert_allclose(ps[big], ss[big], rtol=0.1, atol=1e-3)
+    else:
+        np.testing.assert_allclose(results["pallas"].transitions,
+                                   results["scan"].transitions,
+                                   rtol=0.05, atol=5e-3)
+        np.testing.assert_allclose(
+            results["pallas"].kmer_gap_probs.sum(),
+            results["scan"].kmer_gap_probs.sum(), rtol=1e-6)
+        top = np.argsort(results["scan"].kmer_gap_probs)[-20:]
+        np.testing.assert_allclose(results["pallas"].kmer_gap_probs[top],
+                                   results["scan"].kmer_gap_probs[top],
+                                   rtol=0.1, atol=1e-4)
