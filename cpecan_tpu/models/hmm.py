@@ -338,6 +338,19 @@ class HdpHmm(ContinuousPairHmm):
             if len(kmer) == 6:
                 self.add_assignment(kmer, events[y - 1, 0])
 
+    def collect_assignments_from_pairs(self, pairs, ref_seq, events):
+        """Harvest assignments from extracted (score, x, y) aligned pairs —
+        the fast-path equivalent of collect_assignments for the Pallas
+        aligners' compacted output (score is posterior * 1e7)."""
+        from ..constants import PAIR_ALIGNMENT_PROB_1
+        cutoff = self.threshold * PAIR_ALIGNMENT_PROB_1
+        for score, x, y in pairs:
+            if score < cutoff or x < 0 or y < 0:
+                continue
+            kmer = ref_seq[x: x + 6]
+            if len(kmer) == 6:
+                self.add_assignment(kmer, events[y, 0])
+
     def write(self, fh):
         # hdpHmm_writeToFile (impl/continuousHmm.c:679-733): 5-line format
         if np.isnan(self.transitions).any():

@@ -209,3 +209,50 @@ def test_hdp_hmm_roundtrip(tmp_path):
     assert hmm2.kmer_assignments == ["ACGTAC", "TTTGCA"]
     assert hmm2.event_assignments == pytest.approx([63.2, 55.1])
     assert hmm2.threshold == pytest.approx(0.1)
+
+
+def test_assignment_collection_from_pairs(template_model):
+    """collect_assignments_from_pairs (fast path) harvests the same
+    (kmer, event) assignments as the engine-tensor collector."""
+    import jax.numpy as jnp
+    from cpecan_tpu.align import AlignmentParams
+    from cpecan_tpu.models.hmm import HdpHmm
+    from cpecan_tpu.models.kmers import seq_to_kmer_indices
+    from cpecan_tpu.models.state_machines import StateMachine3SignalStrawman
+    from cpecan_tpu.ops.band import _plan_from_windows, make_band
+    from cpecan_tpu.ops.engine import (backward_pass, extract_aligned_pairs,
+                                       forward_pass, make_control)
+
+    rng = np.random.default_rng(9)
+    ref = "".join(rng.choice(list("ACGT"), 50))
+    l_x = 50 - 5
+    kidx = seq_to_kmer_indices(ref)
+    mm = template_model.match_model
+    events = np.zeros((l_x, 3))
+    for i in range(l_x):
+        events[i, 0] = mm[kidx[i], 0] + rng.normal(0, 0.6)
+        events[i, 1] = 1.0
+        events[i, 2] = 0.01
+    sm = StateMachine3SignalStrawman(template_model)
+    params = AlignmentParams(threshold=0.01)
+    band = make_band([], l_x, l_x, params.diagonal_expansion)
+    n = band.n_diag
+    plan = _plan_from_windows([(0, n, n)], False, n)
+    plan.refresh[:] = False
+    plan.refresh[0] = True
+    ctrl = make_control(band, plan)
+    problem = sm.build(ref, events, ((band.max_width + 7) // 8) * 8,
+                       dtype=jnp.float64)
+    all_fwd = forward_pass(problem, ctrl, problem.feats)
+    out = backward_pass(problem, ctrl, problem.feats, all_fwd)
+
+    h1 = HdpHmm(threshold=0.2)
+    h1.collect_assignments(out["posteriors"], out["step_d"],
+                           out["step_base"], ref, events, n)
+    h2 = HdpHmm(threshold=0.2)
+    pairs = extract_aligned_pairs(out, params.threshold)
+    h2.collect_assignments_from_pairs(pairs, ref, events)
+    assert h1.number_of_assignments > 0
+    a1 = sorted(zip(h1.kmer_assignments, h1.event_assignments))
+    a2 = sorted(zip(h2.kmer_assignments, h2.event_assignments))
+    assert a1 == a2
