@@ -47,10 +47,14 @@ def _x_features(sm, ref_seq, X, dtype):
 
 
 def seqpar_posteriors(sm, ref_seq, events, l_x, l_y, mesh=None,
-                      threshold=0.01, dtype=jnp.float32):
-    """Unbanded forward-backward for one (long) alignment, x-sharded over
-    ``mesh`` ('x' axis).  Returns (score, x, y) aligned pairs above the
-    threshold — same contract as get_aligned_pairs_without_banding.
+                      threshold=0.01, dtype=jnp.float32, anchors=None,
+                      expansion=None):
+    """Forward-backward for one (long) alignment, x-sharded over ``mesh``
+    ('x' axis).  Returns (score, x, y) aligned pairs above the threshold —
+    same contract as get_aligned_pairs_without_banding; with ``anchors``
+    (and optionally ``expansion``) the computation is banded like
+    get_aligned_pairs_using_anchors, so the per-shard work shrinks to the
+    band while memory/compute still split X-ways across chips.
 
     Strawman 3-state machine (the flagship signal model).  The forward and
     backward scans run as one jitted shard_map; per diagonal each shard
@@ -61,6 +65,21 @@ def seqpar_posteriors(sm, ref_seq, events, l_x, l_y, mesh=None,
     n_shards = int(np.prod(mesh.devices.shape))
     ND = l_x + l_y
     X = ((l_x + 2 + n_shards - 1) // n_shards) * n_shards
+
+    if anchors is not None:
+        from ..ops.band import make_band
+        band = make_band(anchors, l_x, l_y,
+                         20 if expansion is None else expansion)
+        band_lo = np.zeros(ND + 3, np.int32)
+        band_hi = np.full(ND + 3, -1, np.int32)
+        n = band.n_diag
+        band_lo[: n + 1] = band.x_lo
+        band_hi[: n + 1] = band.x_lo + band.width - 1
+    else:
+        # full matrix: x in [max(0, d-l_y), min(d, l_x)]
+        d = np.arange(ND + 3)
+        band_lo = np.maximum(d - l_y, 0).astype(np.int32)
+        band_hi = np.minimum(d, l_x).astype(np.int32)
 
     xf = _x_features(sm, ref_seq, X, np.float64)
     p = sm.p
@@ -91,10 +110,14 @@ def seqpar_posteriors(sm, ref_seq, events, l_x, l_y, mesh=None,
     fwd_perm = [(i, i + 1) for i in range(n_shards - 1)]
     bwd_perm = [(i + 1, i) for i in range(n_shards - 1)]
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(None, "x"), P(None)),
+    band_lo_j = jnp.asarray(band_lo)
+    band_hi_j = jnp.asarray(band_hi)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, "x"), P(None), P(None), P(None)),
              out_specs=(P(None, None, "x"), P(None)),
              check_vma=False)
-    def run(xf_local, ev_full):
+    def run(xf_local, ev_full, blo, bhi):
         shard = jax.lax.axis_index("x")
         x0 = shard * Xl
         lane = x0 + jax.lax.iota(jnp.int32, Xl)
@@ -111,10 +134,8 @@ def seqpar_posteriors(sm, ref_seq, events, l_x, l_y, mesh=None,
             return e_match, e_gapy
 
         def mask(d):
-            # matrix coordinates: x in [0, l_x], y = d - x in [0, l_y]
-            x_lo = jnp.maximum(d - l_y, 0)
-            x_hi = jnp.minimum(d, l_x)
-            return (lane >= x_lo) & (lane <= x_hi)
+            # band interval on this diagonal (full matrix when unbanded)
+            return (lane >= blo[d]) & (lane <= bhi[d])
 
         def shift_from_left(v):
             """out[i] = v[i-1] with the left neighbor's last column coming
@@ -208,7 +229,7 @@ def seqpar_posteriors(sm, ref_seq, events, l_x, l_y, mesh=None,
         posts = jnp.where(ok, posts, 0.0)
         return posts[:, None, :], total[None]
 
-    posts, total = run(xf, ev)
+    posts, total = run(xf, ev, band_lo_j, band_hi_j)
     posts = np.asarray(posts)[:, 0, :]
     pairs = []
     d_idx, x_idx = np.nonzero(posts >= threshold)

@@ -66,3 +66,21 @@ def test_seqpar_shard_counts_agree(problem):
                                dtype=jnp.float64)
     assert sorted(p1) == sorted(p2)
     assert abs(t1 - t2) < 1e-9
+
+
+def test_seqpar_banded_matches_engine(problem):
+    """Banded sequence-parallel alignment vs the banded engine path."""
+    from cpecan_tpu.align import get_aligned_pairs_using_anchors
+    sm, ref, events, l_x, l_y = problem
+    params = AlignmentParams()
+    anchors = [(j, j) for j in range(10, min(l_x, l_y) - 10, 12)]
+    want = get_aligned_pairs_using_anchors(sm, ref, events, l_x, l_y,
+                                           anchors, params)
+    pairs, total = seqpar_posteriors(
+        sm, ref, events, l_x, l_y, mesh=_mesh(8), anchors=anchors,
+        expansion=params.diagonal_expansion, threshold=params.threshold,
+        dtype=jnp.float64)
+    want_set = {(x, y) for _, x, y in want}
+    got_set = {(x, y) for _, x, y in pairs}
+    assert got_set == want_set, got_set ^ want_set
+    assert np.isfinite(total)
