@@ -338,11 +338,21 @@ class HdpHmm(ContinuousPairHmm):
             if len(kmer) == 6:
                 self.add_assignment(kmer, events[y - 1, 0])
 
-    def collect_assignments_from_pairs(self, pairs, ref_seq, events):
+    def collect_assignments_from_pairs(self, pairs, ref_seq, events,
+                                       extraction_threshold=None):
         """Harvest assignments from extracted (score, x, y) aligned pairs —
         the fast-path equivalent of collect_assignments for the Pallas
-        aligners' compacted output (score is posterior * 1e7)."""
+        aligners' compacted output (score is posterior * 1e7).
+
+        The pairs must have been extracted at a threshold <= this HMM's
+        assignment threshold, or low-posterior assignments are silently
+        missing; pass the extraction threshold to have that checked."""
         from ..constants import PAIR_ALIGNMENT_PROB_1
+        if (extraction_threshold is not None
+                and extraction_threshold > self.threshold):
+            raise ValueError(
+                f"pairs extracted at {extraction_threshold} cannot cover "
+                f"the assignment threshold {self.threshold}")
         cutoff = self.threshold * PAIR_ALIGNMENT_PROB_1
         for score, x, y in pairs:
             if score < cutoff or x < 0 or y < 0:

@@ -1263,15 +1263,19 @@ class VanillaPallasAligner(StrawmanPallasAligner):
                         jnp.where(valid, mm4[safe, 3] * sp[:, 4:5], 0.0)]
             rows += [jnp.where(valid, gm4[safe, c], 0.0) for c in range(4)]
 
-            # skip bins from |Δ level mean| in 0.5 pA steps, clamped to 29
-            # (emissions_signal_getKmerSkipBin, impl/stateMachine.c:389-420);
-            # under per-read scaling the deltas scale too (shift cancels)
+            # skip bins from |Δ scaled level mean| in 0.5 pA steps, clamped
+            # to 29 (emissions_signal_getKmerSkipBin,
+            # impl/stateMachine.c:389-420); invalid kmers contribute mean
+            # 0.0 (UNscaled), so the shift does not cancel there
+            shift = sp[:, 1:2] if sp is not None else 0.0
+
             def level_mean(idx):
                 idx = idx.astype(jnp.int32)
                 m = mm4[jnp.clip(idx, 0, NUM_OF_KMERS - 1), 0]
-                return jnp.where(idx > NUM_OF_KMERS, 0.0, m)
+                return jnp.where(idx > NUM_OF_KMERS, 0.0,
+                                 m * scale + shift)
 
-            d = jnp.abs(level_mean(kxn) - level_mean(kxp)) * scale
+            d = jnp.abs(level_mean(kxn) - level_mean(kxp))
             b = jnp.minimum((d / 0.5).astype(jnp.int32), 29)
             a_mx = skip60[b]
             a_xx = skip60[b + 30]
@@ -1315,25 +1319,31 @@ class VanillaPallasAligner(StrawmanPallasAligner):
     def _reduce_expectations(self, sm, prep, trans, gapx, totals):
         """Vanilla EM: per-column beta/alpha posterior masses scattered to
         the 60 skip bins (vanillaHmm kmer-skip expectations,
-        impl/continuousHmm.c:410-426).  Bins recomputed host-side with the
-        same per-read scaling as the device assembly."""
-        from ..io.poremodel import kmer_skip_bin_table
+        impl/continuousHmm.c:410-426).  Bins recomputed host-side with
+        EXACTLY the device assembly's arithmetic (f32, scaled means with
+        shift, invalid kmers -> 0.0 unscaled) so boundary deltas land in
+        the same bin the kernel's transitions used."""
+        from ..constants import NUM_OF_KMERS
         B, R, X = prep["B"], prep["R"], prep["X"]
         Bp = prep["Bp"]
         G = Bp // R
         kxp = prep["kxp"].astype(np.int64)
         kxn = prep["kxn"].astype(np.int64)
-        mm = sm.model.match_model
-        # per-read scale factor applied to the level-mean deltas
-        scale = (prep["sp"][:, 0] if "sp" in prep
-                 else np.ones(Bp, np.float64))
+        mm0 = np.asarray(sm.model.match_model[:, 0], np.float32)
+        if "sp" in prep:
+            scale = prep["sp"][:, 0:1].astype(np.float32)
+            shift = prep["sp"][:, 1:2].astype(np.float32)
+        else:
+            scale = np.float32(1.0)
+            shift = np.float32(0.0)
 
         def mean(idx):
-            safe = np.clip(idx, 0, mm.shape[0] - 1)
-            return np.where(idx > mm.shape[0], 0.0, mm[safe, 0])
+            safe = np.clip(idx, 0, NUM_OF_KMERS - 1)
+            return np.where(idx > NUM_OF_KMERS, np.float32(0.0),
+                            mm0[safe] * scale + shift)
 
-        d = np.abs(mean(kxn) - mean(kxp)) * scale[:, None]
-        bins = np.minimum((d / 0.5).astype(np.int64), 29)
+        d = np.abs(mean(kxn) - mean(kxp))
+        bins = np.minimum((d / np.float32(0.5)).astype(np.int64), 29)
         # [G, 2, R, X] -> [G*R, 2, X]
         gapx_h = np.asarray(gapx).transpose(0, 2, 1, 3).reshape(
             G * R, 2, X)[:Bp]

@@ -66,7 +66,7 @@ def add_and_norm_expectations(hmms, sm_type):
 
 
 def _pallas_strand_expectations(model_file, hmm_file, jobs, sps, options,
-                                pa):
+                                pa, strand):
     """Batched E-step for one strand through the wavefront kernel
     (run(expectations=True)): one kernel launch for the whole strand
     instead of a per-read engine pass; per-read model scaling happens on
@@ -81,7 +81,9 @@ def _pallas_strand_expectations(model_file, hmm_file, jobs, sps, options,
         skip_bins = None
         if hmm_file:
             skip_bins = VanillaHmm.load(hmm_file).kmer_skip_bins
-        sm = StateMachine3Vanilla(model, skip_bin_probs=skip_bins)
+        sm = StateMachine3Vanilla(
+            model, skip_bin_probs=skip_bins,
+            strand="template" if strand == TEMPLATE else "complement")
     else:
         params = gap_x = None
         if hmm_file:
@@ -221,10 +223,10 @@ def train(reference_path, read_guide_pairs, template_model, complement_model,
         if options.engine == "pallas":
             t_accs = _pallas_strand_expectations(
                 template_model, t_hmm_file, t_jobs, t_sp, options,
-                pallas_aligner)
+                pallas_aligner, TEMPLATE)
             c_accs = _pallas_strand_expectations(
                 complement_model, c_hmm_file, c_jobs, c_sp, options,
-                pallas_aligner)
+                pallas_aligner, COMPLEMENT)
         t_merged, t_lik = add_and_norm_expectations(t_accs, options.sm_type)
         c_merged, c_lik = add_and_norm_expectations(c_accs, options.sm_type)
         with open(out_template_hmm, "w") as fh:

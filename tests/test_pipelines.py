@@ -93,22 +93,24 @@ def test_train_models_pallas_engine_matches_scan(tmp_path,
                                    str(out_t), str(out_c), opts,
                                    log=lambda m: None)
         loader = VanillaHmm if sm_type == "vanilla" else ContinuousPairHmm
-        results[engine] = loader.load(str(out_t))
+        results[engine] = (loader.load(str(out_t)), loader.load(str(out_c)))
         assert len(traj) == 2
     if sm_type == "vanilla":
-        ps = results["pallas"].kmer_skip_bins
-        ss = results["scan"].kmer_skip_bins
-        np.testing.assert_allclose(ps.sum(), ss.sum(), rtol=1e-4)
-        big = ss > 1e-3
-        np.testing.assert_allclose(ps[big], ss[big], rtol=0.1, atol=1e-3)
+        for strand_i in (0, 1):  # template AND complement must match
+            ps = results["pallas"][strand_i].kmer_skip_bins
+            ss = results["scan"][strand_i].kmer_skip_bins
+            np.testing.assert_allclose(ps.sum(), ss.sum(), rtol=1e-4)
+            big = ss > 1e-3
+            np.testing.assert_allclose(ps[big], ss[big], rtol=0.1,
+                                       atol=1e-3)
     else:
-        np.testing.assert_allclose(results["pallas"].transitions,
-                                   results["scan"].transitions,
-                                   rtol=0.05, atol=5e-3)
-        np.testing.assert_allclose(
-            results["pallas"].kmer_gap_probs.sum(),
-            results["scan"].kmer_gap_probs.sum(), rtol=1e-6)
-        top = np.argsort(results["scan"].kmer_gap_probs)[-20:]
-        np.testing.assert_allclose(results["pallas"].kmer_gap_probs[top],
-                                   results["scan"].kmer_gap_probs[top],
-                                   rtol=0.1, atol=1e-4)
+        for strand_i in (0, 1):
+            pal, sc = results["pallas"][strand_i], results["scan"][strand_i]
+            np.testing.assert_allclose(pal.transitions, sc.transitions,
+                                       rtol=0.05, atol=5e-3)
+            np.testing.assert_allclose(pal.kmer_gap_probs.sum(),
+                                       sc.kmer_gap_probs.sum(), rtol=1e-4)
+            top = np.argsort(sc.kmer_gap_probs)[-20:]
+            np.testing.assert_allclose(pal.kmer_gap_probs[top],
+                                       sc.kmer_gap_probs[top],
+                                       rtol=0.1, atol=1e-4)
