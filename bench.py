@@ -61,11 +61,14 @@ def main():
         return np.asarray(vals), np.asarray(idx), out
 
     run()  # compile + warm
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         vals, idx, out = run()
-    dt = (time.perf_counter() - t0) / reps
+        times.append(time.perf_counter() - t0)
+    # median rep: the tunnel to the chip stalls sporadically, which would
+    # corrupt a mean
+    dt = sorted(times)[len(times) // 2]
 
     bands = out["prep"]["bands"]
     total_cells = int(sum(b.width.sum() for b in bands))
