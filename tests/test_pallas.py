@@ -336,3 +336,55 @@ def test_vanilla_pallas_expectations_match_engine(template_model,
         big = want > 1e-2
         np.testing.assert_allclose(got[big], want[big], rtol=2e-2,
                                    atol=5e-3)
+
+
+def test_wide_window_group(template_model):
+    """Reads with divergent band positions in one group force the window
+    wider than one 128-lane page (W=256+), covering the window-widening
+    and W<X unpack paths that aligned-anchor fixtures never reach."""
+    from tests.test_parallel import _synthetic_read
+
+    rng = np.random.default_rng(21)
+    sm = StateMachine3SignalStrawman(template_model)
+    params = AlignmentParams()
+    reads = []
+    for i in range(4):
+        ref, events, l_x, l_y, _ = _synthetic_read(
+            rng, template_model, n_ref=400, n_events=150)
+        # anchor chains at very different diagonals per read: read i's band
+        # sits ~i*90 columns to the right
+        off = 90 * i
+        anchors = [(min(off + j, l_x - 2), min(j, l_y - 2))
+                   for j in range(10, 120, 20)]
+        filtered = []
+        px = py = -1
+        for x, y in anchors:
+            if x > px and y > py:
+                filtered.append((x, y))
+                px, py = x, y
+        reads.append((ref, events, l_x, l_y, filtered))
+
+    pa = StrawmanPallasAligner(params, interpret=True)
+    out = pa.run(sm, reads)
+    assert out["prep"]["W"] >= 256, out["prep"]["W"]  # widened window
+    assert out["prep"]["W"] < out["prep"]["X"]
+    for i, (ref, events, l_x, l_y, anchors) in enumerate(reads):
+        want = _engine_single_window(sm, ref, events, l_x, l_y, anchors,
+                                     params)
+        got = extract_pairs_from_pallas(out, i, params.threshold)
+        want_set = {(x, y) for _, x, y in want}
+        got_set = {(x, y) for _, x, y in got}
+        assert len(got_set & want_set) >= 0.98 * max(len(want_set), 1)
+        _assert_fringe_only(want, got, params.threshold)
+
+
+def _assert_fringe_only(want, got, threshold):
+    """Symmetric differences must be threshold-marginal (f32 vs f64
+    decision fringe), never confidently-called pairs."""
+    from cpecan_tpu.constants import PAIR_ALIGNMENT_PROB_1
+    ws = {(x, y): s for s, x, y in want}
+    gs = {(x, y): s for s, x, y in got}
+    cutoff = threshold * PAIR_ALIGNMENT_PROB_1
+    for k in set(ws) ^ set(gs):
+        s = ws.get(k, gs.get(k))
+        assert abs(s - cutoff) <= 0.05 * cutoff, (k, s, cutoff)
