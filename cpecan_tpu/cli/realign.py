@@ -185,7 +185,9 @@ def make_parser():
     p.add_argument("-a", "--logLevel", default=None)
     p.add_argument("-l", "--gapGamma", type=float, default=0.5)
     p.add_argument("-L", "--matchGamma", type=float, default=0.85)
-    p.add_argument("-o", "--splitMatrixBiggerThanThis", type=int, default=10)
+    # default is the raw area 10; an explicit flag value j is squared
+    # (cPecanRealign.c:388,453)
+    p.add_argument("-o", "--splitMatrixBiggerThanThis", type=int, default=None)
     p.add_argument("-r", "--diagonalExpansion", type=int, default=4)
     p.add_argument("-t", "--constraintDiagonalTrim", type=int, default=0)
     p.add_argument("-w", "--alignAmbiguityCharacters", action="store_true")
@@ -225,16 +227,19 @@ def main(argv=None, stdin=None, stdout=None):
 
     params = AlignmentParams(
         gap_gamma=args.gapGamma,
-        split_matrix_bigger_than_this=args.splitMatrixBiggerThanThis,
+        split_matrix_bigger_than_this=(
+            10 if args.splitMatrixBiggerThanThis is None
+            else args.splitMatrixBiggerThanThis ** 2),
         diagonal_expansion=args.diagonalExpansion,
         constraint_diagonal_trim=args.constraintDiagonalTrim)
 
     if args.loadHmm:
+        from ..models.hmm import sm5_from_hmm
         hmm = HmmDiscrete.load(args.loadHmm)
         hmm.normalize()
-        p, match_t, gap_x, gap_y = hmm.to_sm5_params_symmetric()
-        sm = StateMachine5(params=p, match_table=match_t, gap_x_table=gap_x,
-                           gap_y_table=gap_y)
+        # getStateMachine5 dispatches on the hmm type (symmetric vs
+        # asymmetric load, impl/stateMachine.c:1748-1773)
+        sm = sm5_from_hmm(hmm)
     else:
         sm = StateMachine5()
 
@@ -270,6 +275,10 @@ def main(argv=None, stdin=None, stdout=None):
             acc = get_expectations_using_anchors(
                 sm, sub_x, sub_y, len(sub_x), len(sub_y), filtered_anchors,
                 params, ragged_left=True, ragged_right=True)
+            if acc is None:
+                # anchor-free ragged gap larger than the split threshold:
+                # getSplitPoints emits no regions
+                continue
             # 5-symbol table: engine uses K=4; embed
             hmm_expectations.transitions += np.asarray(acc["trans"])
             emis = np.asarray(acc["emis"])

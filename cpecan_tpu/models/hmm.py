@@ -145,6 +145,59 @@ class HmmDiscrete:
         gap = self._em_gap_probs([SHORT_GAP_X, LGX], [SHORT_GAP_Y, LGY])
         return p, match_table, gap.copy(), gap.copy()
 
+    def to_sm5_params_asymmetric(self):
+        """stateMachine5_loadAsymmetric (impl/stateMachine.c:1052-1100):
+        X and Y transition banks each loaded from their own states (no
+        averaging), each with its own short/long switch guard; match
+        emissions un-symmetrized; gap X/Y tables collapsed from the X/Y
+        gap states only."""
+        from ..constants import LONG_GAP_X, LONG_GAP_Y
+        t = self.transitions
+        with np.errstate(divide="ignore"):
+            p = {"match_continue": np.log(t[MATCH, MATCH])}
+            for side, short_g, long_g, other_short, other_long in (
+                    ("x", SHORT_GAP_X, LONG_GAP_X, SHORT_GAP_Y, LONG_GAP_Y),
+                    ("y", SHORT_GAP_Y, LONG_GAP_Y, SHORT_GAP_X, LONG_GAP_X)):
+                p["match_from_short_gap_" + side] = np.log(t[short_g, MATCH])
+                p["match_from_long_gap_" + side] = np.log(t[long_g, MATCH])
+                p["gap_short_open_" + side] = np.log(t[MATCH, short_g])
+                p["gap_short_extend_" + side] = np.log(t[short_g, short_g])
+                p["gap_short_switch_to_" + side] = np.log(t[other_short, short_g])
+                p["gap_long_open_" + side] = np.log(t[MATCH, long_g])
+                p["gap_long_extend_" + side] = np.log(t[long_g, long_g])
+                p["gap_long_switch_to_" + side] = np.log(t[other_long, long_g])
+                # per-side switch guard (impl/stateMachine.c:1068-1075,1090-1097)
+                if p["gap_short_extend_" + side] > p["gap_long_extend_" + side]:
+                    for a, b in (("gap_short_extend_", "gap_long_extend_"),
+                                 ("match_from_short_gap_", "match_from_long_gap_"),
+                                 ("gap_short_open_", "gap_long_open_"),
+                                 ("gap_short_switch_to_", "gap_long_switch_to_")):
+                        p[a + side], p[b + side] = p[b + side], p[a + side]
+            # emissions_em_loadMatchProbs (impl/stateMachine.c:680-687)
+            match_table = np.log(self.emissions[MATCH])
+        gap_x = self._em_gap_probs([SHORT_GAP_X, LONG_GAP_X], [])
+        gap_y = self._em_gap_probs([], [SHORT_GAP_Y, LONG_GAP_Y])
+        return p, match_table, gap_x, gap_y
+
+
+def sm5_from_hmm(hmm: HmmDiscrete):
+    """getStateMachine5 (impl/stateMachine.c:1748-1773): build a
+    StateMachine5 from an expectation container, dispatching on the hmm
+    type (fiveState -> loadSymmetric, fiveStateAsymmetric -> loadAsymmetric;
+    anything else is an error in the reference too)."""
+    from .state_machines import StateMachine5
+    if hmm.type == TYPE_FIVE_STATE:
+        p, match_t, gap_x, gap_y = hmm.to_sm5_params_symmetric()
+    elif hmm.type == TYPE_FIVE_STATE_ASYMMETRIC:
+        p, match_t, gap_x, gap_y = hmm.to_sm5_params_asymmetric()
+    else:
+        raise ValueError(
+            f"hmm type {hmm.type} cannot be loaded into a 5-state machine "
+            "(getStateMachine5 supports fiveState/fiveStateAsymmetric only, "
+            "impl/stateMachine.c:1748-1773)")
+    return StateMachine5(params=p, match_table=match_t, gap_x_table=gap_x,
+                         gap_y_table=gap_y)
+
 
 class ContinuousPairHmm:
     """3-state transitions + per-kmer skip expectations

@@ -112,17 +112,24 @@ class PipelineHmm:
         self.emissions = e.ravel()
 
     def to_state_machine(self):
-        """getStateMachine5-equivalent: load symmetric 5-state params."""
-        from ..models.hmm import HmmDiscrete
-        hd = HmmDiscrete(self.state_number, SYMBOL_NUMBER, type_=0)
+        """getStateMachine5-equivalent (impl/stateMachine.c:1748-1773):
+        fiveState loads symmetric, fiveStateAsymmetric loads asymmetric;
+        threeState types abort there too (getStateMachine5 has no branch
+        for them)."""
+        from ..models.hmm import HmmDiscrete, sm5_from_hmm
+        if self.state_number != 5:
+            raise ValueError(
+                f"model type {self.model_type!r} cannot be loaded into a "
+                "5-state machine (getStateMachine5, "
+                "impl/stateMachine.c:1748-1773)")
+        hd = HmmDiscrete(self.state_number, SYMBOL_NUMBER,
+                         type_=_MODEL_TYPES[self.model_type])
         hd.transitions = self.transitions.reshape(self.state_number,
                                                   self.state_number).copy()
         hd.emissions = self.emissions.reshape(self.state_number,
                                               SYMBOL_NUMBER,
                                               SYMBOL_NUMBER).copy()
-        p, match_t, gap_x, gap_y = hd.to_sm5_params_symmetric()
-        return StateMachine5(params=p, match_table=match_t,
-                             gap_x_table=gap_x, gap_y_table=gap_y)
+        return sm5_from_hmm(hd)
 
 
 @dataclass
@@ -142,8 +149,10 @@ class EmOptions:
     tie_emissions: bool = False
     train_emissions: bool = False
     blast_scoring_matrix_file: str = None
+    # optionsToRealign defaults (cPecanEm.py:371): the CLI squares
+    # --splitMatrixBiggerThanThis=3000 (cPecanRealign.c:453)
     realign_params: AlignmentParams = field(default_factory=lambda: AlignmentParams(
-        diagonal_expansion=10, split_matrix_bigger_than_this=3000,
+        diagonal_expansion=10, split_matrix_bigger_than_this=3000 * 3000,
         constraint_diagonal_trim=0))
 
 
@@ -199,10 +208,64 @@ def calculate_shard_expectations(shard, sequences, sm, params):
         acc = get_expectations_using_anchors(
             sm, sub_x, sub_y, len(sub_x), len(sub_y), anchors, params,
             ragged_left=True, ragged_right=True)
+        if acc is None:
+            # the whole alignment was one anchor-free ragged gap larger
+            # than splitMatrixBiggerThanThis: getSplitPoints emits no
+            # regions (impl/pairwiseAligner.c:1362-1389), so there is
+            # nothing to accumulate
+            continue
         hmm.transitions += np.asarray(acc["trans"])
         hmm.emissions += np.asarray(acc["emis"])
         hmm.likelihood += float(acc["likelihood"])
     return hmm
+
+
+def realign_shard(shard, sequences, sm, params, match_gamma=0.85):
+    """calculateAlignments (cPecanEm.py:206-214): re-align a shard's cigars
+    with the current model (cPecanRealign default mode: banded posterior
+    pairs -> AMAP reweight -> expected-accuracy filter -> cigar), replacing
+    the alignments so the next E-step's banding constraints track the
+    trained model."""
+    import copy
+
+    from ..align import get_aligned_pairs_using_anchors
+    from ..cli.realign import convert_aligned_pairs_to_pairwise_alignment
+    from ..msa.multiple_aligner import \
+        filter_pairwise_alignment_to_make_pairs_ordered
+    from ..ops.reweight import reweight_aligned_pairs_2
+
+    out = []
+    for aln in shard:
+        aln = copy.deepcopy(aln)
+        sub_x = sequences[aln.contig1]
+        sub_y = sequences[aln.contig2]
+        flip1, flip2 = not aln.strand1, not aln.strand2
+        shift1 = aln.start1 if aln.strand1 else aln.end1
+        shift2 = aln.start2 if aln.strand2 else aln.end2
+        sub_x = get_sub_sequence(sub_x, aln.start1, aln.end1, aln.strand1)
+        sub_y = get_sub_sequence(sub_y, aln.start2, aln.end2, aln.strand2)
+        rebase_coordinates(aln, 1, -shift1, flip1)
+        rebase_coordinates(aln, 2, -shift2, flip2)
+        anchors = convert_alignment_to_anchor_pairs(
+            aln, params.constraint_diagonal_trim)
+        anchors = [(x, y) for x, y in anchors
+                   if sub_x[x].upper() == sub_y[y].upper()
+                   and sub_x[x].upper() != "N"]
+        pairs = get_aligned_pairs_using_anchors(
+            sm, sub_x, sub_y, len(sub_x), len(sub_y), anchors, params,
+            ragged_left=True, ragged_right=True)
+        pairs = reweight_aligned_pairs_2(pairs, len(sub_x), len(sub_y),
+                                         params.gap_gamma)
+        pairs = filter_pairwise_alignment_to_make_pairs_ordered(
+            pairs, sub_x, sub_y, match_gamma)
+        coord_pairs = sorted((x, y) for _s, x, y in pairs)
+        r_aln = convert_aligned_pairs_to_pairwise_alignment(
+            aln.contig1, aln.contig2, aln.score, aln.end1, aln.end2,
+            coord_pairs)
+        rebase_coordinates(r_aln, 1, shift1, flip1)
+        rebase_coordinates(r_aln, 2, shift2, flip2)
+        out.append(r_aln)
+    return out
 
 
 def expectation_maximisation(sequences, alignments, options: EmOptions,
@@ -279,6 +342,16 @@ def expectation_maximisation(sequences, alignments, options: EmOptions,
         elif options.tie_emissions:
             new.tie_emissions()
         hmm = new
+        if options.update_the_band:
+            # cPecanEm.py:206-214: re-align the shards with the model just
+            # written so the next iteration's banding constraints follow
+            # the trained parameters.  (Note: unlike the reference's
+            # file-backed cigars these refreshed alignments are not
+            # checkpointed; a resumed run restarts from the input cigars.)
+            band_sm = hmm.to_state_machine()
+            shards = [realign_shard(shard, sequences, band_sm,
+                                    options.realign_params)
+                      for shard in shards]
         if manager is not None:
             manager.save(iteration,
                          arrays={"transitions": hmm.transitions,

@@ -46,6 +46,114 @@ def test_discrete_em_monotone_likelihood():
             p_lik = hmm.likelihood
 
 
+def _zymo_template_anchors(zymo_reference_seq, zymo_npread, params):
+    """lastz anchors remapped through the template event map, as every
+    signal EM test in the reference does (signalPairwiseTest.c:1777-1782)."""
+    from cpecan_tpu.io.npread import remap_anchor_pairs
+    from cpecan_tpu.ops.anchors import filter_to_remove_overlap
+    from cpecan_tpu.ops.blast import (
+        find_lastz, get_blast_pairs_for_pairwise_alignment_parameters)
+    if find_lastz() is None:
+        return []
+    anchors = get_blast_pairs_for_pairwise_alignment_parameters(
+        zymo_reference_seq, zymo_npread.twod_read, params)
+    return filter_to_remove_overlap(
+        remap_anchor_pairs(anchors, zymo_npread.template_event_map))
+
+
+@pytest.mark.slow
+def test_vanilla_hmm_em(zymo_reference_seq, zymo_npread, template_model):
+    """test_vanillaHmm_em (tests/signalPairwiseTest.c:1727-1826): 10 EM
+    iterations of the kmer-skip bins on the Zymo fixture from a random
+    start, monotone likelihood (pLikelihood <= likelihood * 0.95)."""
+    from cpecan_tpu.models.hmm import VanillaHmm
+    from cpecan_tpu.models.state_machines import StateMachine3Vanilla
+
+    params = AlignmentParams()
+    l_x = len(zymo_reference_seq) - (KMER_LENGTH - 1)
+    l_y = zymo_npread.n_template_events
+    tp = zymo_npread.template_params
+    model = scale_model(template_model, tp.scale, tp.shift, tp.var,
+                        tp.scale_sd, tp.var_sd)
+    filtered = _zymo_template_anchors(zymo_reference_seq, zymo_npread, params)
+
+    rng = np.random.default_rng(13)
+    hmm = VanillaHmm()
+    hmm.randomize(rng)
+    p_lik = -math.inf
+    for it in range(10):
+        sm = StateMachine3Vanilla(model, strand="template",
+                                  skip_bin_probs=hmm.kmer_skip_bins)
+        acc = get_expectations_using_anchors(
+            sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y,
+            filtered, params)
+        hmm = VanillaHmm()
+        hmm.implant_match_models(model)
+        hmm.add_expectations({"skip_bins": acc["skip_bins"],
+                              "likelihood": acc["likelihood"]})
+        hmm.normalize()
+        assert p_lik <= hmm.likelihood * 0.95
+        p_lik = hmm.likelihood
+    assert np.isfinite(p_lik)
+
+
+@pytest.mark.slow
+def test_hdp_hmm_em(zymo_reference_seq, zymo_npread, template_model):
+    """test_hdpHmm_em (tests/nanoporeHdpTests.c:928-1040): 10 EM iterations
+    of the transitions under HDP emission densities on descaled Zymo
+    template events, monotone likelihood.  The reference trains its NHDP
+    from an alignment tsv outside the repo; here the flat NHDP is trained
+    from (kmer, model-level) assignments over the same reference sequence,
+    which serves the same role (fixed emission densities across EM)."""
+    from cpecan_tpu.hdp.nanopore_hdp import flat_hdp_model
+    from cpecan_tpu.io.npread import descale_events
+    from cpecan_tpu.models.hmm import HdpHmm
+    from cpecan_tpu.models.kmers import seq_to_kmer_indices
+    from cpecan_tpu.models.state_machines import StateMachine3Hdp
+
+    params = AlignmentParams()
+    l_x = len(zymo_reference_seq) - (KMER_LENGTH - 1)
+    l_y = zymo_npread.n_template_events
+    tp = zymo_npread.template_params
+    # nanopore_descaleEvents (nanoporeHdpTests.c:940-942)
+    events = descale_events(zymo_npread.template_events, tp.scale, tp.shift)
+    filtered = _zymo_template_anchors(zymo_reference_seq, zymo_npread, params)
+
+    model_path = "/root/reference/models/template_median68pA.model"
+    nhdp = flat_hdp_model("ACGT", KMER_LENGTH, 1.0, 1.0, 40.0, 100.0, 100,
+                          model_path)
+    rng = np.random.default_rng(17)
+    kidx = seq_to_kmer_indices(zymo_reference_seq)
+    kmers_train, signals = [], []
+    for p in range(l_x):
+        kmer = zymo_reference_seq[p:p + KMER_LENGTH]
+        if "N" in kmer.upper():
+            continue
+        for _ in range(2):
+            kmers_train.append(kmer)
+            signals.append(template_model.match_model[kidx[p], 0]
+                           + rng.normal(0, 1.0))
+    nhdp.update_from_assignments(kmers_train, signals)
+    nhdp.execute_gibbs_sampling(num_samples=10, burn_in=500, thinning=50)
+    nhdp.finalize_distributions()
+
+    hmm = HdpHmm(threshold=params.threshold)
+    hmm.randomize(rng)
+    p_lik = -math.inf
+    for it in range(10):
+        sm_params, gap_x = hmm.to_sm3_params()
+        sm = StateMachine3Hdp(nhdp, params=sm_params,
+                              gap_x_log_probs=gap_x)
+        acc = get_expectations_using_anchors(
+            sm, zymo_reference_seq, events, l_x, l_y, filtered, params)
+        hmm = HdpHmm(threshold=params.threshold)
+        hmm.add_expectations(acc)
+        hmm.normalize()
+        assert p_lik <= hmm.likelihood * 0.95
+        p_lik = hmm.likelihood
+    assert np.isfinite(p_lik)
+
+
 @pytest.mark.slow
 def test_continuous_pair_hmm_em(zymo_reference_seq, zymo_npread,
                                 template_model):

@@ -37,9 +37,17 @@ def test_greedy_vs_progressive_consistency():
             for i in range(8):
                 maps.append((5_000_000 + rng.randrange(4_000_000),
                              s1, i, s2, i + rng.choice([0, 1])))
-    for maker in (make_columns_greedy,):
-        cols = maker(frags, maps, 0.2, rng=rng)
+    # progressive merging needs per-sequence-pair similarity scores
+    # (getMultipleSequenceAlignmentProgressive, impl/multipleAligner.c:510)
+    sim = [(8_000_000.0, s1, s2) for s1 in range(3)
+           for s2 in range(s1 + 1, 3)]
+    makers = (lambda f, m, g, rng: make_columns_greedy(f, m, g, rng=rng),
+              lambda f, m, g, rng: make_columns_progressive(f, m, g, sim,
+                                                            rng=rng))
+    for maker in makers:
+        cols = maker(frags, maps, 0.2, random.Random(4))
         kept = filter_multiple_aligned_pairs(cols, maps)
+        assert kept, f"{maker.__name__} kept no pairs"
         # every kept pair is in one column; columns are internally ordered
         for root, members in cols.members.items():
             by_seq = {}

@@ -45,6 +45,110 @@ def test_em_pipeline_monotone(tmp_path):
     np.testing.assert_allclose(hmm2.transitions, hmm.transitions, rtol=1e-12)
 
 
+def _make_asymmetric_case(rng, n_blocks=5, block=25, ins=5):
+    """Pair where all indels are insertions in Y: an asymmetric model must
+    learn gap-open-into-Y >> gap-open-into-X."""
+    from cpecan_tpu.io.cigar import PairwiseAlignment
+    seq_x = seq_y = ""
+    ops = []
+    for b in range(n_blocks):
+        blockseq = "".join(rng.choice("ACGT") for _ in range(block))
+        seq_x += blockseq
+        seq_y += blockseq
+        if ops and ops[-1][0] == "M":
+            ops[-1] = ("M", ops[-1][1] + block)
+        else:
+            ops.append(("M", block))
+        if b < n_blocks - 1:
+            seq_y += "".join(rng.choice("ACGT") for _ in range(ins))
+            ops.append(("I", ins))
+    return seq_x, seq_y, PairwiseAlignment(
+        "x0", 0, len(seq_x), True, "y0", 0, len(seq_y), True, 0.0, ops)
+
+
+def test_em_asymmetric_model_type_trains_asymmetric():
+    """fiveStateAsymmetric must load via stateMachine5_loadAsymmetric
+    (impl/stateMachine.c:1052-1100), learning different X and Y gap
+    transitions on Y-insertion-only data; fiveState stays symmetric by
+    construction on the same data."""
+    rng = random.Random(33)
+    sx, sy, aln = _make_asymmetric_case(rng)
+    seqs = {"x0": sx, "y0": sy}
+    results = {}
+    for model_type in ("fiveState", "fiveStateAsymmetric"):
+        options = EmOptions(model_type=model_type, iterations=4,
+                            train_emissions=True)
+        hmm = expectation_maximisation(seqs, [aln], options,
+                                       random.Random(7))
+        liks = hmm.running_likelihoods
+        for prev, cur in zip(liks, liks[1:]):
+            assert prev <= cur * 0.95
+        results[model_type] = hmm.to_state_machine()
+    sym, asym = results["fiveState"], results["fiveStateAsymmetric"]
+    # symmetric load copies X params into Y (impl/stateMachine.c:1143-1150)
+    assert sym.p["gap_short_open_y"] == sym.p["gap_short_open_x"]
+    # asymmetric load keeps the sides separate; Y gaps dominate this data
+    assert asym.p["gap_short_open_y"] > asym.p["gap_short_open_x"] + 0.5
+
+
+def test_em_three_state_type_rejected():
+    """getStateMachine5 has no branch for threeState types
+    (impl/stateMachine.c:1769-1772); loading must fail loudly, not fall
+    back to a symmetric 5-state model."""
+    hmm = PipelineHmm("threeState")
+    hmm.equalise()
+    with pytest.raises(ValueError):
+        hmm.to_state_machine()
+
+
+def _write_plausible_model(path):
+    """A realistically-shaped starting model (sharp diagonal emissions,
+    match-dominated transitions) like the trained models cPecanEm's
+    --updateTheBand is used with."""
+    hmm = PipelineHmm("fiveState")
+    hmm.transitions = np.array(
+        [[0.96, 0.013, 0.013, 0.007, 0.007],
+         [0.28, 0.70, 0.005, 0.01, 0.005],
+         [0.28, 0.005, 0.70, 0.005, 0.01],
+         [0.05, 0.01, 0.005, 0.93, 0.005],
+         [0.05, 0.005, 0.01, 0.005, 0.93]]).ravel()
+    hmm.set_emissions_to_jukes_cantor(0.05)
+    hmm.normalise()
+    hmm.write(path)
+
+
+def test_em_update_the_band_recovers_shifted_alignment(tmp_path):
+    """updateTheBand (cPecanEm.py:206-214): with a guide cigar that misses
+    a 15-base Y insertion and a band expansion of 10, fixed-band EM can
+    never reach the true alignment; band-updated EM re-aligns each
+    iteration so the banding constraints drift onto the insertion and the
+    final likelihood must beat the fixed-band run."""
+    from cpecan_tpu.io.cigar import PairwiseAlignment
+    rng = random.Random(9)
+    block = 60
+    ins = 15
+    left = "".join(rng.choice("ACGT") for _ in range(block))
+    right = "".join(rng.choice("ACGT") for _ in range(block))
+    insert = "".join(rng.choice("ACGT") for _ in range(ins))
+    seqs = {"x0": left + right, "y0": left + insert + right}
+    # guide cigar pretends there is no insertion: M over min length
+    guide = PairwiseAlignment("x0", 0, 2 * block, True,
+                              "y0", 0, 2 * block, True, 0.0,
+                              [("M", 2 * block)])
+    model_path = str(tmp_path / "start.hmm")
+    _write_plausible_model(model_path)
+    liks = {}
+    for update in (False, True):
+        options = EmOptions(iterations=4, train_emissions=True,
+                            input_model=model_path,
+                            update_the_band=update)
+        import copy
+        hmm = expectation_maximisation(seqs, [copy.deepcopy(guide)],
+                                       options, random.Random(3))
+        liks[update] = hmm.running_likelihoods[-1]
+    assert liks[True] >= liks[False]
+
+
 def test_blast_scoring_matrix(tmp_path):
     rng = random.Random(5)
     hmm = PipelineHmm("fiveState")

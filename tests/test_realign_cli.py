@@ -93,6 +93,58 @@ def test_expectations_mode(seq_pair, tmp_path):
     assert np.isfinite(hmm.likelihood)
 
 
+def _coverage(alignments, which, length):
+    """cactus_coverage stand-in: per-base M-coverage depth of one side."""
+    depth = np.zeros(length, dtype=int)
+    for aln in alignments:
+        pos1, pos2 = aln.start1, aln.start2
+        sgn1 = 1 if aln.strand1 else -1
+        sgn2 = 1 if aln.strand2 else -1
+        for op, n in aln.operations:
+            if op == "M":
+                if which == 1:
+                    lo = min(pos1, pos1 + sgn1 * n)
+                    depth[max(lo, 0):max(lo, 0) + n] += 1
+                else:
+                    lo = min(pos2, pos2 + sgn2 * n)
+                    depth[max(lo, 0):max(lo, 0) + n] += 1
+            if op != "I":
+                pos1 += sgn1 * n
+            if op != "D":
+                pos2 += sgn2 * n
+    return depth
+
+
+def test_split_indels_coverage_invariance(tmp_path):
+    """testCPecanRealignSplitSequences (cPecanRealignTest.py:45-73): realign
+    with --splitIndelsLongerThanThis must leave per-base match coverage on
+    both sequences identical to the unsplit realign."""
+    rng = random.Random(31)
+    left = "".join(rng.choice("ACGT") for _ in range(150))
+    right = "".join(rng.choice("ACGT") for _ in range(150))
+    insert = "".join(rng.choice("ACGT") for _ in range(60))
+    seq_x = left + right
+    seq_y = left + insert + right
+    fa1 = tmp_path / "a.fa"
+    fa2 = tmp_path / "b.fa"
+    fa1.write_text(">seqX\n" + seq_x + "\n")
+    fa2.write_text(">seqY\n" + seq_y + "\n")
+    cig = _lastz_cigar(str(fa1), str(fa2))
+    outputs = {}
+    for split_args in ([], ["-s", "20"]):
+        out = io.StringIO()
+        realign_main(split_args + [str(fa1), str(fa2)],
+                     stdin=io.StringIO(cig + "\n"), stdout=out)
+        outputs[bool(split_args)] = list(
+            cigar_read_stream(io.StringIO(out.getvalue())))
+    assert len(outputs[True]) > len(outputs[False]), \
+        "the 60bp insertion must actually split"
+    for which, length in ((1, len(seq_x)), (2, len(seq_y))):
+        np.testing.assert_array_equal(
+            _coverage(outputs[True], which, length),
+            _coverage(outputs[False], which, length))
+
+
 def test_realign_pallas_engine_matches_scan(tmp_path):
     """--engine pallas produces the same realigned cigars as the scan
     engine on random pairs."""
