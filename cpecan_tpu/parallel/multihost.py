@@ -65,8 +65,12 @@ class MultiHostEmController:
     hosts — no broadcast needed); host 0 checkpoints.
     """
 
-    def __init__(self, checkpoint_dir=None, log=print):
-        self.distributed = initialize_distributed()
+    def __init__(self, checkpoint_dir=None, log=print,
+                 coordinator_address=None, num_processes=None,
+                 process_id=None):
+        self.distributed = initialize_distributed(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
         self.mesh = global_data_mesh()
         self.log = (log if is_primary() else (lambda *a, **k: None))
         self.manager = None

@@ -40,6 +40,78 @@ def test_controller_checkpointing(tmp_path):
     np.testing.assert_array_equal(arrays["w"], [0.0, 2.0, 4.0])
 
 
+@pytest.mark.slow
+def test_two_process_distributed_em(tmp_path):
+    """Run the REAL thing: two jax.distributed CPU processes (2 local
+    devices each) execute one psum-reduced EM E-step over a global
+    4-device mesh.  Both hosts must hold the identical reduced model, it
+    must equal the single-process sum, and only host 0 may write the
+    checkpoint.  Mirrors cPecanEmTest.py:56-113 (distribution tested by
+    running the actual pipeline locally)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    # the worker sets its own XLA_FLAGS device count
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-4000:]
+
+    r0 = np.load(tmp_path / "result_0.npz")
+    r1 = np.load(tmp_path / "result_1.npz")
+    # identical psum-reduced model on both hosts
+    np.testing.assert_allclose(r0["trans"], r1["trans"], rtol=1e-12)
+    np.testing.assert_allclose(r0["likelihood"], r1["likelihood"],
+                               rtol=1e-12)
+
+    # the reduced counts equal the single-process per-read sum
+    from cpecan_tpu.align import AlignmentParams, \
+        get_expectations_using_anchors
+    from cpecan_tpu.io.poremodel import load_pore_model
+    from cpecan_tpu.models.state_machines import StateMachine3SignalStrawman
+    from tests.test_parallel import _synthetic_read
+    model = load_pore_model(
+        "/root/reference/models/template_median68pA.model")
+    rng = np.random.default_rng(5)
+    reads = [_synthetic_read(rng, model, n_ref=60, n_events=50)
+             for _ in range(4)]
+    sm = StateMachine3SignalStrawman(model)
+    want = np.zeros((3, 3))
+    want_lik = 0.0
+    for ref, events, l_x, l_y, anchors in reads:
+        acc = get_expectations_using_anchors(sm, ref, events, l_x, l_y,
+                                             anchors, AlignmentParams())
+        want += np.asarray(acc["trans"])
+        want_lik += float(acc["likelihood"])
+    np.testing.assert_allclose(r0["raw_trans"], want, rtol=1e-9)
+    np.testing.assert_allclose(float(r0["likelihood"]), want_lik, rtol=1e-9)
+
+    # only host 0 wrote the checkpoint
+    ckpt = tmp_path / "ckpt"
+    assert ckpt.exists() and any(ckpt.iterdir())
+    from cpecan_tpu.utils.checkpoint import CheckpointManager
+    step, arrays, meta = CheckpointManager(str(ckpt)).restore()
+    assert step == 0
+    assert meta["writer"] == 0, "host 1 must not write checkpoints"
+    np.testing.assert_allclose(arrays["trans"], r0["trans"], rtol=1e-12)
+
+
 def test_prepare_fast5_reads(tmp_path):
     h5py = pytest.importorskip("h5py")  # noqa: F841
     from cpecan_tpu.pipeline.signal_align_batch import prepare_fast5_reads
