@@ -828,6 +828,14 @@ class StateMachineEchelon:
         # buffer (multi-kmer fan + n-padding); keep the full tail.
         return ref_seq[x1:], events[y1:y2]
 
+    def _skip_logs(self, a_mx):
+        """Per-column skip transition logs.  Echelon couples alpha to beta
+        (a_xx = a_mx, la_xh = la_mh; impl/stateMachine.c:1420-1426)."""
+        with np.errstate(divide="ignore"):
+            la_mx = np.log(a_mx)
+            la_mh = np.log(1.0 - a_mx)
+        return la_mx, la_mh, la_mx, la_mh
+
     def build(self, ref_seq, events, W, dtype=jnp.float64):
         l_x = max(len(ref_seq) - (KMER_LENGTH - 1), 0)
         refp = ref_seq + "n" * 30  # sequence_padSequence (impl/pairwiseAligner.c:282-285)
@@ -837,9 +845,7 @@ class StateMachineEchelon:
         k_next = _kmer_idx_at(refp, pos + 1)
         bins = kmer_skip_bin_table(self.model.match_model, k_prev, k_next)
         a_mx = self.skip_bin_probs[bins]
-        with np.errstate(divide="ignore"):
-            la_mx = np.log(a_mx)
-            la_mh = np.log(1.0 - a_mx)
+        la_mx, la_mh, la_xx, la_xh = self._skip_logs(a_mx)
 
         # multi-kmer term params: kmer at position p(x)+1+i for i = 0..4
         m_feats = []
@@ -875,6 +881,8 @@ class StateMachineEchelon:
         feats = dict(
             la_mx=jnp.asarray(pad_x_array(la_mx, W, LOG_ZERO), dtype=dtype),
             la_mh=jnp.asarray(pad_x_array(la_mh, W, LOG_ZERO), dtype=dtype),
+            la_xx=jnp.asarray(pad_x_array(la_xx, W, LOG_ZERO), dtype=dtype),
+            la_xh=jnp.asarray(pad_x_array(la_xh, W, LOG_ZERO), dtype=dtype),
             m=m_feats, g=g_feat,
             valid={n: jnp.asarray(pad_x_array(valid_n[n].astype(np.float64), W, 0.0))
                    for n in range(1, 6)},
@@ -893,6 +901,8 @@ class StateMachineEchelon:
                      for i in range(5)]
             la_mx_s = slice_x(f["la_mx"], base, W)
             la_mh_s = slice_x(f["la_mh"], base, W)
+            la_xx_s = slice_x(f["la_xx"], base, W)
+            la_xh_s = slice_x(f["la_xh"], base, W)
             dur_s = {n: slice_y(f["dur"][n], d, base, W) for n in range(6)}
 
             # multipleKmerMatchProb folds from 0.0 (NOT LOG_ZERO) — a
@@ -907,10 +917,13 @@ class StateMachineEchelon:
                                    jnp.array(LOG_ZERO, dtype))
             e_scaled = _twodists_eval(f["g"], base, W, mean, noise).astype(dtype)
 
-            lower = tuple(la_mx_s for _ in range(6))
+            # lower: matches -> gapX use la_mx; gapX -> gapX uses la_xx;
+            # middle from gapX uses la_xh (echelonB separates these,
+            # impl/stateMachine.c:1470-1475; echelon A couples them)
+            lower = tuple(la_mx_s for _ in range(5)) + (la_xx_s,)
             middle = tuple(e_n[n] + la_mh_s + dur_s[n]
                            for n in range(1, 6) for _ in range(6)) \
-                + tuple(e_n[n] + la_mh_s + dur_s[n] for n in range(1, 6))
+                + tuple(e_n[n] + la_xh_s + dur_s[n] for n in range(1, 6))
             upper = tuple(e_scaled + la_mh_s + dur_s[0] for _ in range(5))
             return {"lower": lower, "middle": middle, "upper": upper}
 
@@ -922,6 +935,37 @@ class StateMachineEchelon:
             ragged_end=_vec(self.ragged_end_vec(), dtype),
             W=W, multi_match_states=5,
         )
+
+
+class StateMachineEchelonB(StateMachineEchelon):
+    """EchelonB variant (stateMachineEchelonB_cellCalculate,
+    impl/stateMachine.c:1461-1510; struct inc/stateMachine.h:247-260):
+    identical topology/emissions to echelon, but the skip transitions are
+    four global scalars (MATCH_TO_SKIP / MATCH_TO_HUB and SKIP_CONTINUE /
+    SKIP_TO_HUB) instead of per-kmer skip-bin lookups, decoupling alpha
+    (keep skipping) from beta (start skipping).  The reference defines the
+    cell calculate and struct but never a constructor; the defaults here
+    use the pore model's mean skip-bin probability for both, which
+    reproduces echelon A's alpha==beta coupling in expectation.
+    """
+
+    def __init__(self, model: PoreModel, match_to_skip=None,
+                 skip_continue=None):
+        super().__init__(model)
+        if match_to_skip is None:
+            match_to_skip = float(np.mean(model.skip_bins))
+        if skip_continue is None:
+            skip_continue = match_to_skip
+        self.match_to_skip = float(match_to_skip)
+        self.skip_continue = float(skip_continue)
+
+    def _skip_logs(self, a_mx):
+        with np.errstate(divide="ignore"):
+            la_mx = np.full_like(a_mx, np.log(self.match_to_skip))
+            la_mh = np.full_like(a_mx, np.log1p(-self.match_to_skip))
+            la_xx = np.full_like(a_mx, np.log(self.skip_continue))
+            la_xh = np.full_like(a_mx, np.log1p(-self.skip_continue))
+        return la_mx, la_mh, la_xx, la_xh
 
 
 # ---------------------------------------------------------------------------

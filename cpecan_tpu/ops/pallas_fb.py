@@ -199,12 +199,14 @@ class _StrawmanSpec:
                  "ym": 6, "sx": 7, "ey": 8}
 
     @staticmethod
-    def exp_probs(t, xf, em_t, eg_t, f0, f1, bw2, total):
+    def exp_probs(t, xf, em_t, eg_t, y_t, f0, f1, bw2, total):
         """Posterior transition probabilities into one target diagonal
         (cell_signal_updateTransAndKmerSkipExpectations,
         impl/pairwiseAligner.c:442-459): p = exp(fwd_src + transition +
         emission + bwd_target - total).  Returns {name: [R, X]} keyed like
-        EXP_LANES, plus the gap-X sum for the per-kmer counters."""
+        EXP_LANES, plus the gap-X sum for the per-kmer counters.
+        ``y_t`` is the target diagonal's y-element row (only specs with
+        EXP_Y_AUX receive a real value)."""
         def p(logp):
             return jnp.exp(jnp.minimum(logp - total, 10.0))
 
@@ -346,6 +348,63 @@ class _Dna5Spec:
         bw_ly = _log_add(mid + t[T5_MLY], up_l + t[T5_LEY])
         return [bw_m, bw_sx, bw_sy, bw_lx, bw_ly]
 
+    # EM expectations (cell_updateExpectations,
+    # impl/pairwiseAligner.c:423-441): the 13 active transitions land in
+    # lanes frm*5+to of the [5,5] transition table; emission expectations
+    # accumulate per-column posterior mass per (to-state, y-base) — the
+    # x-base scatter happens post-kernel (emis[to, bx, by] += p).
+    # lane = frm*5 + to over states (M, SX, SY, LX, LY)
+    EXP_LANES = {"mm": 0, "sxm": 5, "sym": 10, "lxm": 15, "lym": 20,
+                 "msx": 1, "sxsx": 6, "mlx": 3, "lxlx": 18,
+                 "msy": 2, "sysy": 12, "mly": 4, "lyly": 24}
+    EXP_NACC = 20  # 5 to-states x 4 y bases (N excluded, like the engine)
+    EXP_Y_AUX = True
+
+    @staticmethod
+    def exp_probs(t, xf, em_t, eg_t, y_t, f0, f1, bw2, total):
+        def p(logp):
+            return jnp.exp(jnp.minimum(logp - total, 10.0))
+
+        e_gapx = xf[:, 5, :]
+        # middle: src (d, x-1) -> M at (d+2, x)
+        mid = em_t + bw2[0]
+        probs = {
+            "mm": p(_shift_right(f0[0]) + t[T5_MM] + mid),
+            "sxm": p(_shift_right(f0[1]) + t[T5_MSX] + mid),
+            "sym": p(_shift_right(f0[2]) + t[T5_MSY] + mid),
+            "lxm": p(_shift_right(f0[3]) + t[T5_MLX] + mid),
+            "lym": p(_shift_right(f0[4]) + t[T5_MLY] + mid),
+        }
+        # lower: src (d+1, x-1) -> shortGapX / longGapX at (d+2, x)
+        low_s = e_gapx + bw2[1]
+        low_l = e_gapx + bw2[3]
+        probs["msx"] = p(_shift_right(f1[0]) + t[T5_SOX] + low_s)
+        probs["sxsx"] = p(_shift_right(f1[1]) + t[T5_SEX] + low_s)
+        probs["mlx"] = p(_shift_right(f1[0]) + t[T5_LOX] + low_l)
+        probs["lxlx"] = p(_shift_right(f1[3]) + t[T5_LEX] + low_l)
+        # upper: src (d+1, x) -> shortGapY / longGapY at (d+2, x)
+        up_s = eg_t + bw2[2]
+        up_l = eg_t + bw2[4]
+        probs["msy"] = p(f1[0] + t[T5_SOY] + up_s)
+        probs["sysy"] = p(f1[2] + t[T5_SEY] + up_s)
+        probs["mly"] = p(f1[0] + t[T5_LOY] + up_l)
+        probs["lyly"] = p(f1[4] + t[T5_LEY] + up_l)
+
+        # posterior mass into each target state (for emission expectations)
+        p_to = [
+            (probs["mm"] + probs["sxm"] + probs["sym"]
+             + probs["lxm"] + probs["lym"]),
+            probs["msx"] + probs["sxsx"],
+            probs["msy"] + probs["sysy"],
+            probs["mlx"] + probs["lxlx"],
+            probs["mly"] + probs["lyly"],
+        ]
+        contribs = []
+        for to in range(5):
+            for by in range(4):
+                contribs.append(jnp.where(y_t == float(by), p_to[to], 0.0))
+        return probs, tuple(contribs)
+
 
 # vanilla machine scalar order
 VA_YM, VA_YY = range(2)
@@ -406,7 +465,7 @@ class _VanillaSpec:
     EXP_NACC = 2
 
     @staticmethod
-    def exp_probs(t, xf, em_t, eg_t, f0, f1, bw2, total):
+    def exp_probs(t, xf, em_t, eg_t, y_t, f0, f1, bw2, total):
         la_mx = xf[:, 8, :]
         la_xx = xf[:, 9, :]
 
@@ -606,14 +665,20 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
 
     NACC = getattr(spec, "EXP_NACC", 1)
+    # specs whose exp_probs needs the target diagonal's y-element row
+    # (e.g. the DNA machine's y base index for emission expectations)
+    needs_y = with_exp and getattr(spec, "EXP_Y_AUX", False)
 
-    def accumulate_exp(d_target, em_t, eg_t, f0, f1, bw2, total, trans_c,
-                       gapx_acc):
+    def y_aux_slice(d):
+        return _dyn_lane_slice(yf, 0, C - d, X)
+
+    def accumulate_exp(d_target, em_t, eg_t, y_t, f0, f1, bw2, total,
+                       trans_c, gapx_acc):
         """Posterior transition counts for one target diagonal, into the
         per-transition lane accumulator and the per-column accumulators
         (the kmer/bin scatter happens post-kernel)."""
-        probs, contribs = spec.exp_probs(t, xf, em_t, eg_t, f0, f1, bw2,
-                                         total)
+        probs, contribs = spec.exp_probs(t, xf, em_t, eg_t, y_t, f0, f1,
+                                         bw2, total)
         m = band(d_target).astype(jnp.float32)
         for name, idx in spec.EXP_LANES.items():
             tot = jnp.sum(probs[name] * m, axis=1, keepdims=True)
@@ -629,8 +694,15 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         n1 = list(carry[:S])
         n2 = list(carry[S:2 * S])
         f1 = list(carry[2 * S:3 * S])
-        total, em2, eg2, trans_c = carry[3 * S:3 * S + 4]
-        gapx_acc = tuple(carry[3 * S + 4:])
+        total, em2, eg2 = carry[3 * S:3 * S + 3]
+        off = 3 * S + 3
+        if needs_y:
+            y2 = carry[off]
+            off += 1
+        else:
+            y2 = None
+        trans_c = carry[off]
+        gapx_acc = tuple(carry[off + 1:])
         d = ND - s
         # per-read seed/ragged flags as exact 0/1 columns (lane-replicated
         # reduction outputs); applied arithmetically — selects with [R,1]
@@ -693,7 +765,7 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
             # and fwd[d+1] (lower/upper, carried unpacked), target backward
             # bwd[d+2] (carried)
             trans_c, gapx_acc = accumulate_exp(
-                d + 2, em2, eg2, f, f1, n2, total, trans_c, gapx_acc)
+                d + 2, em2, eg2, y2, f, f1, n2, total, trans_c, gapx_acc)
 
         # --- match posterior
         df = jnp.float32(d)
@@ -716,23 +788,33 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         pltpu.make_async_copy(pscratch.at[pslot], post_ref.at[g, d],
                               sems.at[pslot]).start()
 
+        y_tail = ((y_aux_slice(d + 1) + 0.0 * lane,) if needs_y else ())
         return (tuple(bw) + tuple(n1) + tuple(f)
-                + (total, em1, eg1, trans_c) + tuple(gapx_acc))
+                + (total, em1, eg1) + y_tail + (trans_c,)
+                + tuple(gapx_acc))
 
     em_init, eg_init = emissions(ND + 2)
     zero128 = jnp.zeros((R, 128), jnp.float32) + 0.0 * lane128.astype(
         jnp.float32)
     zeroX = jnp.zeros((R, X), jnp.float32) + 0.0 * lane
+    y_init = ((y_aux_slice(ND + 2) + 0.0 * lane,) if needs_y else ())
     carry = ((neg,) * (3 * S)
              + (jnp.full((R, 1), NEG, jnp.float32),
-                em_init + 0.0 * lane, eg_init + 0.0 * lane,
-                zero128) + (zeroX,) * NACC)
+                em_init + 0.0 * lane, eg_init + 0.0 * lane)
+             + y_init + (zero128,) + (zeroX,) * NACC)
     carry = jax.lax.fori_loop(0, ND, step, carry)
     n1 = list(carry[:S])
     n2 = list(carry[S:2 * S])
     f1 = list(carry[2 * S:3 * S])
-    total, em2, eg2, trans_c = carry[3 * S:3 * S + 4]
-    gapx_acc = tuple(carry[3 * S + 4:])
+    total, em2, eg2 = carry[3 * S:3 * S + 3]
+    off = 3 * S + 3
+    if needs_y:
+        y2 = carry[off]
+        off += 1
+    else:
+        y2 = None
+    trans_c = carry[off]
+    gapx_acc = tuple(carry[off + 1:])
     tot_ref[0] = total + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
 
     if with_exp:
@@ -753,11 +835,13 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         f0 = [unpack0(fscratch[0, i]) for i in range(S)]
         # target 2: middle from fwd[0], lower/upper from fwd[1], bwd[2]
         trans_c, gapx_acc = accumulate_exp(
-            2, em2, eg2, f0, f1, n2, total, trans_c, gapx_acc)
+            2, em2, eg2, y2, f0, f1, n2, total, trans_c, gapx_acc)
         # target 1: no middle (source diagonal -1), lower/upper from fwd[0]
         em1t, eg1t = emissions(1)
+        y1t = y_aux_slice(1) if needs_y else None
         trans_c, gapx_acc = accumulate_exp(
-            1, em1t, eg1t, [neg] * S, f0, n1, total, trans_c, gapx_acc)
+            1, em1t, eg1t, y1t, [neg] * S, f0, n1, total, trans_c,
+            gapx_acc)
         trans_ref[0] = trans_c
         for j in range(NACC):
             gapx_ref[0, j] = gapx_acc[j]
@@ -940,30 +1024,35 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         NDp = _round_up(ND + 3, 128) + 128
 
         finputs = self._feature_inputs(reads + [reads[-1]] * (Bp - B), X)
-        basef = np.zeros((Bp, NDp), np.float32)
-        widthf = np.zeros((Bp, NDp), np.float32)
-        seedf = np.zeros((Bp, NDp), np.float32)
-        raggedf = np.zeros((Bp, NDp), np.float32)
-        for r, band in enumerate(bands):
-            n = band.n_diag
-            basef[r, : n + 1] = band.x_lo
-            widthf[r, : n + 1] = band.width
-            seedf[r, n] = 1.0
-            if ragged_right:
-                raggedf[r, n] = 1.0
-        # padding rows reuse the last band so their windows stay consistent
+        # band metadata ships as compact anchor chains + (l_x, l_y, n_diag,
+        # ragged) per read and is rebuilt on device (_device_bands) — the
+        # host->device link is the scarce resource and the full [Bp, NDp]
+        # base/width/seed arrays dwarf the anchors that define them
+        A_max = max(1, max(len(r[4]) for r in reads))
+        anch = np.full((Bp, A_max, 2), -1, np.int16)
+        meta = np.zeros((Bp, 4), np.int32)
+        for r, (_x, _y, l_x, l_y, a) in enumerate(reads):
+            if a:
+                anch[r, : len(a)] = np.asarray(a, np.int64)
+            meta[r] = (l_x, l_y, bands[r].n_diag, 1 if ragged_right else 0)
+        # padding rows reuse the last read's band (no ragged end)
         for r in range(B, Bp):
-            band = bands[-1]
-            n = band.n_diag
-            basef[r, : n + 1] = band.x_lo
-            widthf[r, : n + 1] = band.width
-            seedf[r, n] = 1.0
+            anch[r] = anch[B - 1]
+            meta[r] = meta[B - 1]
+            meta[r, 3] = 0
 
         # per-group posterior windows: [lo, lo+W) covers the union of the
-        # group's bands on every diagonal
-        act = widthf > 0
-        lo_all = np.where(act, basef, np.inf)
-        hi_all = np.where(act, basef + widthf, -np.inf)
+        # group's bands on every diagonal (from the host bands; padding
+        # rows reuse the last read's band)
+        lo_all = np.full((Bp, NDp), np.inf)
+        hi_all = np.full((Bp, NDp), -np.inf)
+        for r in range(Bp):
+            band = bands[min(r, B - 1)]
+            n = band.n_diag
+            act = band.width > 0
+            lo_all[r, : n + 1] = np.where(act, band.x_lo, np.inf)
+            hi_all[r, : n + 1] = np.where(act, band.x_lo + band.width,
+                                          -np.inf)
         W = 128
         win = np.zeros((G, NDp), np.int32)
         for g in range(G):
@@ -988,26 +1077,74 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             sp[:, 1] = 0.0  # identity: scale 1, shift 0, var/sds 1
             sp[:B] = np.asarray(scale_params, np.float32)
             out_extra["sp"] = sp
-        # band arrays ship as int16/uint8 (values < 2^15) and widen to f32
-        # on device — upload bandwidth is the scarce resource
-        return dict(**finputs, **out_extra, basef=basef.astype(np.int16),
-                    widthf=widthf.astype(np.int16),
-                    seedf=seedf.astype(np.uint8),
-                    raggedf=raggedf.astype(np.uint8),
+        return dict(**finputs, **out_extra, anch=anch, meta=meta,
                     win=win, bands=bands, X=X, ND=ND, C=C,
-                    B=B, Bp=Bp, R=R, W=W)
+                    B=B, Bp=Bp, R=R, W=W, NDp=NDp)
 
     def _stream_args(self, sm, prep):
         """Extra kernel inputs for STREAMED specs (HBM emission stream);
         () for machines that compute emissions in-kernel."""
         return ()
 
-    def _widen_fn(self):
-        key = ("widen",)
-        if key not in self._cache:
-            self._cache[key] = jax.jit(
-                lambda *a: tuple(v.astype(jnp.float32) for v in a))
-        return self._cache[key]
+    def _device_bands(self, NDp, A_max):
+        """Jitted on-device band construction from anchor chains — the
+        vectorized band_construct (ops/band.py, impl/pairwiseAligner.c:131-184)
+        as segment-lookup array math: diagonal d's corners come from the
+        first waypoint segment with nxay >= d (searchsorted), then the
+        parity fix and the four coordinate bounds apply as arithmetic.
+        Returns f32 (basef, widthf, seedf, raggedf), identical to the host
+        arrays (asserted in tests)."""
+        exp_ = int(self.params.diagonal_expansion)
+        key = ("devbands", NDp, A_max, exp_)
+        if key in self._cache:
+            return self._cache[key]
+
+        def one(a, m):
+            l_x, l_y, n, ragged = m[0], m[1], m[2], m[3]
+            valid = a[:, 0] >= 0
+            # matrix coords are sequence coords + 1; padded slots collapse
+            # onto the terminal corner (degenerate zero-length segments)
+            ax = jnp.where(valid, a[:, 0].astype(jnp.int32) + 1, l_x)
+            ay = jnp.where(valid, a[:, 1].astype(jnp.int32) + 1, l_y)
+            zero = jnp.zeros((1,), jnp.int32)
+            wx = jnp.concatenate([zero, ax, zero + l_x])
+            wy = jnp.concatenate([zero, ay, zero + l_y])
+            pxay = wx[:-1] + wy[:-1]
+            pxmy = wx[:-1] - wy[:-1]
+            nxay = wx[1:] + wy[1:]
+            nxmy = wx[1:] - wy[1:]
+            seg_x_l = jnp.clip((pxay + (pxmy - exp_)) // 2, 0, l_x)
+            seg_y_l = jnp.clip((nxay - (nxmy - exp_)) // 2, 0, l_y)
+            seg_x_u = jnp.clip((nxay + (nxmy + exp_)) // 2, 0, l_x)
+            seg_y_u = jnp.clip((pxay - (pxmy + exp_)) // 2, 0, l_y)
+            d = jnp.arange(NDp, dtype=jnp.int32)
+            k = jnp.clip(jnp.searchsorted(nxay, d, side="left"), 0,
+                         nxay.shape[0] - 1)
+            nz = d > 0
+            x_l = jnp.where(nz, seg_x_l[k], 0)
+            y_l = jnp.where(nz, seg_y_l[k], 0)
+            x_u = jnp.where(nz, seg_x_u[k], 0)
+            y_u = jnp.where(nz, seg_y_u[k], 0)
+            xmy_l = x_l - y_l
+            xmy_r = x_u - y_u
+            xmy_l = jnp.where((d + xmy_l) % 2 != 0, xmy_l + 1, xmy_l)
+            xmy_r = jnp.where((d + xmy_r) % 2 != 0, xmy_r + 1, xmy_r)
+            xmy_l = xmy_l + 2 * jnp.maximum(x_l - (d + xmy_l) // 2, 0)
+            xmy_l = xmy_l + 2 * jnp.maximum((d - xmy_l) // 2 - y_l, 0)
+            xmy_r = xmy_r - 2 * jnp.maximum((d + xmy_r) // 2 - x_u, 0)
+            xmy_r = xmy_r - 2 * jnp.maximum(y_u - (d - xmy_r) // 2, 0)
+            x_lo = (d + xmy_l) // 2
+            width = (xmy_r - xmy_l) // 2 + 1
+            in_range = d <= n
+            basef = jnp.where(in_range, x_lo, 0).astype(jnp.float32)
+            widthf = jnp.where(in_range, width, 0).astype(jnp.float32)
+            seedf = (d == n).astype(jnp.float32)
+            raggedf = seedf * (ragged > 0)
+            return basef, widthf, seedf, raggedf
+
+        fn = jax.jit(jax.vmap(one))
+        self._cache[key] = fn
+        return fn
 
     def run(self, sm, reads, ragged_right=False, ragged_left=False,
             compact_k=4096, expectations=False, scale_params=None):
@@ -1019,9 +1156,9 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         # features assemble on device from compact uploads (kmer indices +
         # events + once-per-model tables) — the upload link is slow
         xf, yf = self._device_features(sm, prep)
-        basef, widthf, seedf, raggedf = self._widen_fn()(
-            jax.device_put(prep["basef"]), jax.device_put(prep["widthf"]),
-            jax.device_put(prep["seedf"]), jax.device_put(prep["raggedf"]))
+        basef, widthf, seedf, raggedf = self._device_bands(
+            prep["NDp"], prep["anch"].shape[1])(
+            jax.device_put(prep["anch"]), jax.device_put(prep["meta"]))
         win3 = jax.device_put(prep["win"][:, None, :])
         extra = self._stream_args(sm, prep)  # () unless spec.STREAMED
         fwd = fwd_fn(scal, win3, xf, yf, basef, widthf, *extra)
@@ -1589,6 +1726,35 @@ class Dna5PallasAligner(StrawmanPallasAligner):
             ev[r, 1:1 + l_y, 1] = gapy5_h[by]
         return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256)(
             jax.device_put(prep["bx"]), jax.device_put(ev), match5, gapx5)
+
+    def _reduce_expectations(self, sm, prep, trans, gapx, totals):
+        """DNA EM reduce (cell_updateExpectations,
+        impl/pairwiseAligner.c:423-441): [G, R, 128] transition lanes ->
+        [B, 5, 5]; the 20 per-column (to-state, y-base) posterior masses
+        scatter to emis[to, x-base, y-base] by each column's x base (N
+        columns excluded via the 4-wide one-hot, like the engine)."""
+        B, R, X = prep["B"], prep["R"], prep["X"]
+        G = prep["Bp"] // R
+
+        def reduce_fn(trans, gapx, bx, totals):
+            tr = trans[:, :, :25].reshape(G * R, 5, 5)
+            acc = gapx.transpose(0, 2, 1, 3).reshape(G * R, 5, 4, X)
+            ohx = (bx[:, :, None] == jnp.arange(4)[None, None, :]).astype(
+                jnp.float32)
+            emis = jnp.einsum("bsyx,bxk->bsky", acc, ohx)
+            return tr, emis, totals.reshape(G * R, -1)[:, 0]
+
+        key = ("reduce5", G, R, X)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(reduce_fn)
+        tr, emis, tot = self._cache[key](
+            trans, gapx, jnp.asarray(prep["bx"]).astype(jnp.int32), totals)
+        n_diag = np.asarray([b.n_diag for b in prep["bands"]])
+        return {
+            "trans": np.asarray(tr)[:B],
+            "emis": np.asarray(emis)[:B],
+            "likelihood": np.asarray(tot)[:B] * n_diag,
+        }
 
 
 def extract_pairs_from_pallas(out, read_idx, threshold):

@@ -149,6 +149,10 @@ class EmOptions:
     tie_emissions: bool = False
     train_emissions: bool = False
     blast_scoring_matrix_file: str = None
+    # 'scan': reference-faithful per-alignment engine E-step; 'pallas':
+    # the whole E-step batched through the 5-state wavefront kernel
+    # (in-kernel transition + emission expectation accumulators)
+    engine: str = "scan"
     # optionsToRealign defaults (cPecanEm.py:371): the CLI squares
     # --splitMatrixBiggerThanThis=3000 (cPecanRealign.c:453)
     realign_params: AlignmentParams = field(default_factory=lambda: AlignmentParams(
@@ -217,6 +221,72 @@ def calculate_shard_expectations(shard, sequences, sm, params):
         hmm.transitions += np.asarray(acc["trans"])
         hmm.emissions += np.asarray(acc["emis"])
         hmm.likelihood += float(acc["likelihood"])
+    return hmm
+
+
+def _alignment_jobs(alignments, sequences, params):
+    """Slice/rebase/anchor each cigar and split at large anchor-free gaps,
+    yielding kernel jobs (sub_x, sub_y, l_x, l_y, anchors) — the same
+    geometry the scan E-step sees, batched for one kernel launch."""
+    import copy
+
+    from ..ops.anchors import get_split_points
+
+    jobs = []
+    for aln in alignments:
+        aln = copy.copy(aln)
+        sub_x = get_sub_sequence(sequences[aln.contig1], aln.start1,
+                                 aln.end1, aln.strand1)
+        sub_y = get_sub_sequence(sequences[aln.contig2], aln.start2,
+                                 aln.end2, aln.strand2)
+        aln.operations = list(aln.operations)
+        rebase_coordinates(aln, 1, -(aln.start1 if aln.strand1 else aln.end1),
+                           not aln.strand1)
+        rebase_coordinates(aln, 2, -(aln.start2 if aln.strand2 else aln.end2),
+                           not aln.strand2)
+        anchors = convert_alignment_to_anchor_pairs(
+            aln, params.constraint_diagonal_trim)
+        anchors = [(x, y) for x, y in anchors
+                   if sub_x[x].upper() == sub_y[y].upper()
+                   and sub_x[x].upper() != "N"]
+        split_points = get_split_points(anchors, len(sub_x), len(sub_y),
+                                        params.split_matrix_bigger_than_this,
+                                        True, True)
+        j = 0
+        for (x1, y1, x2, y2) in split_points:
+            sub_anchors = []
+            while j < len(anchors):
+                ax, ay = anchors[j]
+                if ax + ay >= x2 + y2:
+                    break
+                sub_anchors.append((ax - x1, ay - y1))
+                j += 1
+            if x2 - x1 <= 0 or y2 - y1 <= 0:
+                continue
+            jobs.append((sub_x[x1:x2], sub_y[y1:y2], x2 - x1, y2 - y1,
+                         sub_anchors))
+    return jobs
+
+
+def calculate_expectations_pallas(shards, sequences, sm, params, aligner):
+    """The whole E-step in one batched kernel launch: every alignment of
+    every shard through the 5-state wavefront kernel with in-kernel
+    transition + emission expectation accumulators (the fast-path
+    equivalent of per-shard cPecanRealign --outputExpectations jobs)."""
+    from ..models.hmm import HmmDiscrete
+
+    jobs = _alignment_jobs([a for shard in shards for a in shard],
+                           sequences, params)
+    hmm = HmmDiscrete(5, SYMBOL_NUMBER, pseudocount=1e-12)
+    hmm.likelihood = 0.0
+    if not jobs:
+        return hmm
+    out = aligner.run(sm, jobs, expectations=True, ragged_left=True,
+                      ragged_right=True)
+    exp = out["expectations"]
+    hmm.transitions += np.asarray(exp["trans"]).sum(axis=0)
+    hmm.emissions += np.asarray(exp["emis"]).sum(axis=0)
+    hmm.likelihood += float(np.asarray(exp["likelihood"]).sum())
     return hmm
 
 
@@ -315,21 +385,35 @@ def expectation_maximisation(sequences, alignments, options: EmOptions,
     if manager is not None:
         shard_rng_state = rng_state_to_json(rng)
     shards = _shard_alignments(alignments, options, rng)
+    aligner = None
+    if options.engine == "pallas":
+        import jax
+
+        from ..ops.pallas_fb import Dna5PallasAligner
+        # shared across iterations: compiled kernels + feature caches hit
+        aligner = Dna5PallasAligner(options.realign_params,
+                                    interpret=jax.default_backend() == "cpu")
     for iteration in range(start_iteration, options.iterations):
         use_default = options.use_default_model_as_start and iteration == 0
         sm = StateMachine5() if use_default else hmm.to_state_machine()
-        merged = None
-        for shard in shards:
-            exp = calculate_shard_expectations(shard, sequences, sm,
-                                               options.realign_params)
+        if aligner is not None:
+            merged = calculate_expectations_pallas(
+                shards, sequences, sm, options.realign_params, aligner)
+            if not shards:
+                break
+        else:
+            merged = None
+            for shard in shards:
+                exp = calculate_shard_expectations(shard, sequences, sm,
+                                                   options.realign_params)
+                if merged is None:
+                    merged = exp
+                else:
+                    merged.transitions += exp.transitions
+                    merged.emissions += exp.emissions
+                    merged.likelihood += exp.likelihood
             if merged is None:
-                merged = exp
-            else:
-                merged.transitions += exp.transitions
-                merged.emissions += exp.emissions
-                merged.likelihood += exp.likelihood
-        if merged is None:
-            break
+                break
         new = PipelineHmm(options.model_type)
         new.transitions = merged.transitions.ravel().copy()
         new.emissions = merged.emissions.reshape(5, -1)[:, :].reshape(

@@ -207,3 +207,88 @@ def test_echelon_zymo_golden(zymo_reference_seq, zymo_npread, template_model):
             sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y,
             filtered, params)
         assert len(pairs) == 857
+
+
+def test_echelon_b_variant(template_model):
+    """StateMachineEchelonB (stateMachineEchelonB_cellCalculate,
+    impl/stateMachine.c:1461-1510): with alpha == beta == the bin value it
+    must reproduce echelon A exactly; decoupling alpha changes the
+    alignment."""
+    import numpy as np
+    from cpecan_tpu.align import get_aligned_pairs_without_banding
+    from cpecan_tpu.models.kmers import seq_to_kmer_indices
+    from cpecan_tpu.models.state_machines import (StateMachineEchelon,
+                                                  StateMachineEchelonB)
+
+    rng = np.random.default_rng(4)
+    ref = "".join(rng.choice(list("ACGT"), 40))
+    l_x = 40 - (KMER_LENGTH - 1)
+    kidx = seq_to_kmer_indices(ref)
+    mm = template_model.match_model
+    events = np.zeros((l_x, 3))
+    for i in range(l_x):
+        events[i, 0] = mm[kidx[i], 0] + rng.normal(0, 0.5)
+        events[i, 1] = max(mm[kidx[i], 2], 0.1)
+        events[i, 2] = 0.01
+    params = AlignmentParams(threshold=0.15)
+
+    import dataclasses
+    model_c = dataclasses.replace(template_model,
+                                  skip_bins=np.full(30, 0.3))
+    sm_a = StateMachineEchelon(model_c)
+    sm_b = StateMachineEchelonB(model_c, match_to_skip=0.3,
+                                skip_continue=0.3)
+    pairs_a = get_aligned_pairs_without_banding(
+        sm_a, ref, events, l_x, l_x, params)
+    pairs_b = get_aligned_pairs_without_banding(
+        sm_b, ref, events, l_x, l_x, params)
+    assert sorted(pairs_a) == sorted(pairs_b)
+    assert len(pairs_a) > 0
+
+    # decoupled alpha (keep skipping) must change the result
+    sm_b2 = StateMachineEchelonB(model_c, match_to_skip=0.3,
+                                 skip_continue=0.85)
+    pairs_b2 = get_aligned_pairs_without_banding(
+        sm_b2, ref, events, l_x, l_x, params)
+    assert sorted(pairs_b2) != sorted(pairs_a)
+
+
+def test_batched_echelon_matches_single(template_model):
+    """Echelon through the vmapped BatchedAligner (multi-state posteriors)
+    vs the per-read engine."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cpecan_tpu.align import get_aligned_pairs_using_anchors
+    from cpecan_tpu.models.kmers import seq_to_kmer_indices
+    from cpecan_tpu.models.state_machines import StateMachineEchelon
+    from cpecan_tpu.ops.engine import extract_aligned_pairs
+    from cpecan_tpu.parallel.batch import BatchedAligner
+
+    rng = np.random.default_rng(6)
+    mm = template_model.match_model
+    reads = []
+    for r in range(3):
+        n = 40 + 10 * r
+        ref = "".join(rng.choice(list("ACGT"), n))
+        l_x = n - (KMER_LENGTH - 1)
+        kidx = seq_to_kmer_indices(ref)
+        events = np.zeros((l_x, 3))
+        for i in range(l_x):
+            events[i, 0] = mm[kidx[i], 0] + rng.normal(0, 0.5)
+            events[i, 1] = max(mm[kidx[i], 2], 0.1)
+            events[i, 2] = 0.01
+        anchors = [(j, j) for j in range(6, l_x - 6, 9)]
+        reads.append((ref, events, l_x, l_x, anchors))
+
+    sm = StateMachineEchelon(template_model)
+    params = AlignmentParams(threshold=0.15)
+    ba = BatchedAligner(params, strict=True, dtype=jnp.float64)
+    out = ba.run(sm, reads)
+    for i, (ref, events, l_x, l_y, anchors) in enumerate(reads):
+        want = get_aligned_pairs_using_anchors(sm, ref, events, l_x, l_y,
+                                               anchors, params)
+        got = extract_aligned_pairs(
+            {k: np.asarray(out[k][i]) for k in
+             ("posteriors", "totals", "step_d", "step_base")},
+            params.threshold, multi=True)
+        assert sorted(got) == sorted(want), i

@@ -44,6 +44,56 @@ def fixture_reads(template_model):
                             n_events=90 + 12 * i) for i in range(8)]
 
 
+def test_device_band_construction_matches_host(template_model):
+    """The on-device band rebuild (_device_bands) must equal the host
+    band_construct bit-for-bit for random anchor chains."""
+    rng = np.random.default_rng(3)
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=True)
+    reads = []
+    for i in range(6):
+        l_x = int(rng.integers(20, 200))
+        l_y = int(rng.integers(20, 200))
+        n_anchor = int(rng.integers(0, 8))
+        xs = np.sort(rng.choice(np.arange(1, l_x - 1), size=min(n_anchor, l_x - 2),
+                                replace=False)) if n_anchor else []
+        anchors = []
+        py = 0
+        for x in xs:
+            y = py + 1 + int(rng.integers(0, max((l_y - 1 - py) // 4, 1)))
+            if y >= l_y:
+                break
+            anchors.append((int(x), y))
+            py = y
+        reads.append(("A" * (l_x + 5), np.zeros((l_y, 3)), l_x, l_y,
+                      anchors))
+    # build host bands + compact metadata exactly like prepare does
+    from cpecan_tpu.ops.band import make_band
+    NDp = 512
+    A_max = max(1, max(len(r[4]) for r in reads))
+    anch = np.full((len(reads), A_max, 2), -1, np.int16)
+    meta = np.zeros((len(reads), 4), np.int32)
+    bands = []
+    for r, (_x, _y, l_x, l_y, a) in enumerate(reads):
+        band = make_band(a, l_x, l_y, 20)
+        bands.append(band)
+        if a:
+            anch[r, : len(a)] = np.asarray(a, np.int64)
+        meta[r] = (l_x, l_y, band.n_diag, r % 2)
+    pa.params = AlignmentParams(diagonal_expansion=20)
+    basef, widthf, seedf, raggedf = pa._device_bands(NDp, A_max)(
+        jnp.asarray(anch), jnp.asarray(meta))
+    for r, band in enumerate(bands):
+        n = band.n_diag
+        want_base = np.zeros(NDp)
+        want_width = np.zeros(NDp)
+        want_base[: n + 1] = band.x_lo
+        want_width[: n + 1] = band.width
+        np.testing.assert_array_equal(np.asarray(basef[r]), want_base)
+        np.testing.assert_array_equal(np.asarray(widthf[r]), want_width)
+        assert np.asarray(seedf[r]).nonzero()[0].tolist() == [n]
+        assert (np.asarray(raggedf[r]).sum() > 0) == bool(r % 2)
+
+
 def test_pallas_matches_engine_pairs(template_model, fixture_reads):
     sm = StateMachine3SignalStrawman(template_model)
     params = AlignmentParams()
@@ -236,6 +286,57 @@ def test_dna5_pallas_matches_engine(template_model):
     golden = {(x, y) for _, x, y in
               extract_pairs_from_pallas(out, len(reads) - 1, 0.2)}
     assert golden == {(0, 0), (1, 1), (2, 4), (3, 5)}
+
+
+def test_dna5_pallas_expectations_match_engine():
+    """DNA 5-state EM accumulators (transitions + emission expectations)
+    on the kernel vs the engine single-window expectation pass — the
+    cPecanEm E-step fast path (cell_updateExpectations,
+    impl/pairwiseAligner.c:423-441)."""
+    from cpecan_tpu.models.state_machines import StateMachine5
+    from cpecan_tpu.ops.engine import make_control
+    from cpecan_tpu.ops.pallas_fb import Dna5PallasAligner
+
+    sm = StateMachine5()
+    rng = np.random.default_rng(23)
+    reads = []
+    for i in range(4):
+        n = 50 + 18 * i
+        seq_x = "".join(rng.choice(list("ACGT"), n))
+        seq_y = "".join(c if rng.random() > 0.18 else
+                        str(rng.choice(list("ACGT"))) for c in seq_x)
+        anchors = [(j, j) for j in range(8, n - 8, 11)]
+        reads.append((seq_x, seq_y, len(seq_x), len(seq_y), anchors))
+    # one read with an N (must be excluded from emission expectations)
+    seq_x = "ACGTAGGTACNGATTACAGGATCC"
+    seq_y = "ACGTCGGTACAGATAACAGGATCC"
+    reads.append((seq_x, seq_y, len(seq_x), len(seq_y), []))
+
+    params = AlignmentParams()
+    pa = Dna5PallasAligner(params, interpret=True)
+    out = pa.run(sm, reads, expectations=True)
+    exp = out["expectations"]
+    assert exp["trans"].shape == (len(reads), 5, 5)
+    assert exp["emis"].shape == (len(reads), 5, 4, 4)
+
+    for i, (sx, sy, l_x, l_y, anchors) in enumerate(reads):
+        band = make_band(anchors, l_x, l_y, params.diagonal_expansion)
+        n = band.n_diag
+        plan = _plan_from_windows([(0, n, n)], False, n)
+        plan.refresh[:] = False
+        plan.refresh[0] = True
+        ctrl = make_control(band, plan)
+        problem = sm.build(sx, sy, ((band.max_width + 7) // 8) * 8,
+                           dtype=jnp.float64)
+        all_fwd = forward_pass(problem, ctrl, problem.feats)
+        eng = backward_pass(problem, ctrl, problem.feats, all_fwd,
+                            compute_expectations=True)["expectations"]
+        np.testing.assert_allclose(exp["trans"][i], np.asarray(eng["trans"]),
+                                   rtol=2e-3, atol=1e-3)
+        np.testing.assert_allclose(exp["emis"][i], np.asarray(eng["emis"]),
+                                   rtol=2e-3, atol=1e-3)
+        np.testing.assert_allclose(exp["likelihood"][i],
+                                   float(eng["likelihood"]), rtol=1e-4)
 
 
 def test_sm4_pallas_matches_engine(template_model, fixture_reads):

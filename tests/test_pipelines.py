@@ -149,6 +149,38 @@ def test_em_update_the_band_recovers_shifted_alignment(tmp_path):
     assert liks[True] >= liks[False]
 
 
+def test_em_pallas_engine_matches_scan():
+    """cPecanEm E-step through the 5-state wavefront kernel: same trained
+    model (transitions + emissions) as the scan engine, monotone
+    likelihood."""
+    rng = random.Random(21)
+    seqs = {}
+    alns = []
+    for i in range(3):
+        sx, sy, aln = _make_alignment_case(rng)
+        aln.contig1 = f"x{i}"
+        aln.contig2 = f"y{i}"
+        seqs[f"x{i}"] = sx
+        seqs[f"y{i}"] = sy
+        alns.append(aln)
+    hmms = {}
+    for engine in ("scan", "pallas"):
+        options = EmOptions(iterations=3, train_emissions=True,
+                            engine=engine)
+        hmms[engine] = expectation_maximisation(seqs, list(alns), options,
+                                                random.Random(5))
+        liks = hmms[engine].running_likelihoods
+        for prev, cur in zip(liks, liks[1:]):
+            assert prev <= cur * 0.95
+    np.testing.assert_allclose(hmms["pallas"].transitions,
+                               hmms["scan"].transitions, rtol=5e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(hmms["pallas"].emissions,
+                               hmms["scan"].emissions, rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(hmms["pallas"].likelihood,
+                               hmms["scan"].likelihood, rtol=1e-3)
+
+
 def test_blast_scoring_matrix(tmp_path):
     rng = random.Random(5)
     hmm = PipelineHmm("fiveState")
