@@ -1,23 +1,24 @@
-"""Benchmark: banded signal-alignment throughput on real TPU hardware.
+"""Benchmarks on real TPU hardware: one JSON line per metric.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline: banded signal-alignment throughput, batch end-to-end including
+the compacted-pair transfer (the reference's per-read vanillaAlign
+workload, SURVEY §3.2).  The batch is dispatched in chunks so host prep,
+H2D, kernels, and D2H of different chunks overlap (JAX async dispatch);
+one sync at the end.
 
-Workload: a batch of Zymo-scale nanopore signal alignments (each ~900 ref
-6-mers x 800 events, anchor chain, default banding parameters) through the
-strawman 3-state posterior engine — the reference's headline workload
-(vanillaAlign per read, SURVEY §3.2).
+Also emitted (BASELINE.md metric suite):
+  device_banded_cells_per_sec   — kernel-only (fwd+bwd on resident data)
+  dna_realign_alignments_per_sec — 5-state DNA batch (cPecanRealign)
+  dna_em_estep_alignments_per_sec — cPecanEm E-step on the kernel
+  signal_em_estep_reads_per_sec  — trainModels E-step on the kernel
+  hdp_alignments_per_sec         — HDP-emission alignment (streamed)
 
-Path: the Pallas wavefront kernel (fwd + bwd fused scans, 8 reads per
-kernel instance on sublanes, x dense on lanes), band-local windowed
-posterior/forward streaming, on-device feature assembly from compact
-uploads, and on-device top-k posterior compaction; timing includes host
-transfer of the compacted pairs.
-
-History (this machine, TPU v5e 1 chip, batch end-to-end):
+History (this machine, TPU v5e 1 chip, headline batch e2e):
   r1 XLA-scan engine:              10.2 alignments/s
   r1 Pallas wavefront (first cut): ~93  alignments/s
-  r1 + windowed streams, R=16,
-     on-device assembly:           ~450 alignments/s
+  r1 + windowed streams,
+     on-device assembly:           ~450-520 alignments/s
+  r2 + device-built bands, hierarchical exact top-k, chunk pipelining
 vs_baseline is the ratio against the first recorded TPU measurement
 (10.2 aligns/s; the reference publishes no numbers — BASELINE.md).
 """
@@ -31,12 +32,213 @@ import numpy as np
 FIRST_RECORDED = 10.2  # alignments/s, r1 XLA-scan engine on this chip
 
 
+def _sync(x):
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[:8])
+
+
+def _median_time(fn, reps=3):
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def _emit(metric, value, unit, baseline=None):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2) if baseline else 1.0,
+    }), flush=True)
+
+
+def bench_headline(sm, reads, pa):
+    """Chunked, pipelined batch: dispatch every chunk, sync once."""
+    chunk = 64
+
+    def run():
+        outs = []
+        for i in range(0, len(reads), chunk):
+            outs.append(pa.run(sm, reads[i:i + chunk], compact_k=2048))
+        return [(np.asarray(o["compact"][0]), np.asarray(o["compact"][1]))
+                for o in outs], outs
+
+    _, outs = run()  # compile + warm
+    dt = _median_time(lambda: run(), reps=5)
+    total_cells = sum(int(sum(b.width.sum() for b in o["prep"]["bands"]))
+                      for o in outs)
+    rate = len(reads) / dt
+    _emit("banded_signal_alignments_per_sec", rate,
+          f"alignments/s (batch={len(reads)}, chunked x{chunk}, "
+          f"{total_cells / dt:.3g} DP cells/s e2e)", FIRST_RECORDED)
+    return outs
+
+
+def bench_device_only(sm, reads, pa):
+    """Kernel-only throughput: fwd+bwd reruns on resident inputs."""
+    import jax
+    prep = pa.prepare(sm, reads)
+    scal = pa._scalars(sm)
+    fwd_fn, bwd_fn, _ = pa._fns(prep["X"], prep["ND"], prep["C"], prep["W"])
+    xf, yf = pa._device_features(sm, prep)
+    basef, widthf, seedf, raggedf = pa._device_bands(
+        prep["NDp"], prep["anch"].shape[1])(
+        jax.device_put(prep["anch"]), jax.device_put(prep["meta"]))
+    win3 = jax.device_put(prep["win"][:, None, :])
+
+    def once():
+        fwd = fwd_fn(scal, win3, xf, yf, basef, widthf)
+        posts, totals = bwd_fn(scal, win3, xf, yf, basef, widthf, seedf,
+                               raggedf, fwd)
+        return posts
+
+    _sync(once())
+    reps = 3
+
+    def run():
+        last = None
+        for _ in range(reps):
+            last = once()
+        _sync(last)
+
+    dt = _median_time(run) / reps
+    cells = int(sum(b.width.sum() for b in prep["bands"]))
+    _emit("device_banded_cells_per_sec", cells / dt,
+          f"DP band cells/s, fwd+bwd kernels only (batch={len(reads)})")
+
+
+def bench_dna_realign():
+    import random
+
+    import jax
+    from cpecan_tpu.align import AlignmentParams
+    from cpecan_tpu.models.state_machines import StateMachine5
+    from cpecan_tpu.ops.pallas_fb import Dna5PallasAligner
+
+    rng = random.Random(11)
+    reads = []
+    for i in range(64):
+        n = 2000
+        sx = "".join(rng.choice("ACGT") for _ in range(n))
+        sy = "".join(c if rng.random() > 0.12 else rng.choice("ACGT")
+                     for c in sx)
+        anchors = [(j, j) for j in range(40, n - 40, 50)]
+        reads.append((sx, sy, n, len(sy), anchors))
+    sm = StateMachine5()
+    pa = Dna5PallasAligner(AlignmentParams(), interpret=False)
+
+    def run():
+        out = pa.run(sm, reads, ragged_left=True, ragged_right=True,
+                     compact_k=4096)
+        return np.asarray(out["compact"][0])
+
+    run()
+    dt = _median_time(run)
+    _emit("dna_realign_alignments_per_sec", len(reads) / dt,
+          "alignments/s (2kb pairs, 5-state DNA, cPecanRealign workload)")
+
+
+def bench_dna_em():
+    import random
+
+    from cpecan_tpu.io.cigar import parse_cigar_line
+    from cpecan_tpu.ops.pallas_fb import Dna5PallasAligner
+    from cpecan_tpu.pipeline.em import (EmOptions,
+                                        calculate_expectations_pallas,
+                                        PipelineHmm, _shard_alignments)
+
+    rng = random.Random(3)
+    seqs = {}
+    alns = []
+    for i in range(32):
+        sx = "".join(rng.choice("ACGT") for _ in range(1000))
+        sy = "".join(c if rng.random() > 0.12 else rng.choice("ACGT")
+                     for c in sx)
+        seqs[f"x{i}"] = sx
+        seqs[f"y{i}"] = sy
+        alns.append(parse_cigar_line(
+            f"cigar: y{i} 0 {len(sy)} + x{i} 0 1000 + 0 M 1000"))
+    options = EmOptions(train_emissions=True)
+    hmm = PipelineHmm("fiveState")
+    hmm.equalise()
+    sm = hmm.to_state_machine()
+    shards = _shard_alignments(alns, options, rng)
+    pa = Dna5PallasAligner(options.realign_params, interpret=False)
+    calculate_expectations_pallas(shards, seqs, sm, options.realign_params,
+                                  pa)
+    dt = _median_time(lambda: calculate_expectations_pallas(
+        shards, seqs, sm, options.realign_params, pa))
+    _emit("dna_em_estep_alignments_per_sec", len(alns) / dt,
+          "alignments/s (1kb pairs, cPecanEm E-step, in-kernel "
+          "expectations)")
+
+
+def bench_signal_em(sm, reads):
+    from cpecan_tpu.align import AlignmentParams
+    from cpecan_tpu.ops.pallas_fb import StrawmanPallasAligner
+
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=8)
+    sub = reads[:128]
+
+    def run():
+        out = pa.run(sm, sub, expectations=True, ragged_left=True,
+                     ragged_right=True)
+        return out["expectations"]["trans"]
+
+    run()
+    dt = _median_time(run)
+    _emit("signal_em_estep_reads_per_sec", len(sub) / dt,
+          "reads/s (trainModels E-step, in-kernel trans+kmer-gap "
+          "accumulators)")
+
+
+def bench_hdp(reads):
+    from cpecan_tpu.align import AlignmentParams
+    from cpecan_tpu.hdp.nanopore_hdp import flat_hdp_model_2
+    from cpecan_tpu.models.state_machines import StateMachine3Hdp
+    from cpecan_tpu.models.kmers import seq_to_kmer_indices
+    from cpecan_tpu.ops.pallas_fb import HdpPallasAligner
+    from cpecan_tpu.io.poremodel import load_pore_model
+
+    model_path = "/root/reference/models/template_median68pA.model"
+    try:
+        model = load_pore_model(model_path)
+    except OSError:
+        return
+    rng = np.random.default_rng(1)
+    ref_train = "".join(rng.choice(list("ACGT"), 200))
+    kidx_t = seq_to_kmer_indices(ref_train)
+    kmers_train = [ref_train[p:p + 6] for p in range(len(kidx_t))
+                   for _ in (0, 1)]
+    signals = [model.match_model[kidx_t[p], 0] + rng.normal(0, 1.0)
+               for p in range(len(kidx_t)) for _ in (0, 1)]
+    nhdp = flat_hdp_model_2("ACGT", 6, 1.0, 1.0, 1.0, 1.0, 30.0, 110.0,
+                            120, model_path)
+    nhdp.update_from_assignments(kmers_train, signals)
+    nhdp.execute_gibbs_sampling(num_samples=6, burn_in=100, thinning=20)
+    nhdp.finalize_distributions()
+    sm = StateMachine3Hdp(nhdp)
+    pa = HdpPallasAligner(AlignmentParams(), interpret=False, group=8)
+    sub = reads[:64]
+
+    def run():
+        out = pa.run(sm, sub, compact_k=2048)
+        return np.asarray(out["compact"][0])
+
+    run()
+    dt = _median_time(run)
+    _emit("hdp_alignments_per_sec", len(sub) / dt,
+          "alignments/s (HDP spline-density emissions, streamed)")
+
+
 def main():
     sys.path.insert(0, ".")
     import os
     import jax
-    # persistent compilation cache: repeated bench/driver runs skip the
-    # 20-40s kernel compiles
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     try:
@@ -52,35 +254,18 @@ def main():
     sm, reads = _synthetic_batch(n_reads=batch, n_ref=905, n_events=800,
                                  seed=7)
     pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=8)
-
-    def run():
-        out = pa.run(sm, reads, compact_k=2048)
-        vals, idx = out["compact"]
-        # np.asarray forces device->host sync (block_until_ready is not
-        # reliable through the axon tunnel)
-        return np.asarray(vals), np.asarray(idx), out
-
-    run()  # compile + warm
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        vals, idx, out = run()
-        times.append(time.perf_counter() - t0)
-    # median rep: the tunnel to the chip stalls sporadically, which would
-    # corrupt a mean
-    dt = sorted(times)[len(times) // 2]
-
-    bands = out["prep"]["bands"]
-    total_cells = int(sum(b.width.sum() for b in bands))
-    alignments_per_sec = batch / dt
-
-    print(json.dumps({
-        "metric": "banded_signal_alignments_per_sec",
-        "value": round(alignments_per_sec, 3),
-        "unit": f"alignments/s (batch={batch}, ~{total_cells // batch} band "
-                f"cells each; {total_cells / dt:.3g} DP cells/s)",
-        "vs_baseline": round(alignments_per_sec / FIRST_RECORDED, 2),
-    }))
+    bench_headline(sm, reads, pa)
+    for fn in (lambda: bench_device_only(sm, reads, pa),
+               bench_dna_realign,
+               bench_dna_em,
+               lambda: bench_signal_em(sm, reads),
+               lambda: bench_hdp(reads)):
+        try:
+            fn()
+        except Exception as e:  # a secondary metric must not kill the run
+            import traceback
+            print(f"# metric failed: {e!r}", file=sys.stderr)
+            traceback.print_exc()
 
 
 if __name__ == "__main__":

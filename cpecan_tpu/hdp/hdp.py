@@ -26,6 +26,42 @@ HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
 INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
+def k_means(k, data, max_iters, num_restarts, rng):
+    """1-D k-means with random restarts (impl/hdp.c:1154-1251): absolute
+    distance, empty clusters re-seeded from random data points, best
+    restart by summed distance.  Returns (assignments, centroids)."""
+    data = np.asarray(data, dtype=np.float64)
+    n = len(data)
+    if k > n:
+        raise ValueError("must have at least as many data points as "
+                         "clusters")
+    if k <= 0:
+        raise ValueError("must have at least one cluster")
+    best_assign = best_centroids = None
+    best_sum = np.inf
+    for _ in range(num_restarts):
+        centroids = data[rng.integers(0, n, size=k)]
+        assign = np.full(n, -1, dtype=np.int64)
+        for _ in range(max_iters):
+            d = np.abs(data[:, None] - centroids[None, :])
+            new_assign = np.argmin(d, axis=1)
+            if np.array_equal(new_assign, assign):
+                break
+            assign = new_assign
+            sums = np.bincount(assign, weights=data, minlength=k)
+            counts = np.bincount(assign, minlength=k)
+            nonzero = counts > 0
+            centroids = np.where(
+                nonzero, sums / np.maximum(counts, 1),
+                data[rng.integers(0, n, size=k)])
+        total = float(np.abs(data - centroids[assign]).sum())
+        if total < best_sum:
+            best_sum = total
+            best_assign = assign
+            best_centroids = centroids
+    return best_assign, best_centroids
+
+
 class Factor:
     __slots__ = ("factor_type", "parent", "children", "params", "data_pt_idx",
                  "dp")
@@ -219,6 +255,86 @@ class HierarchicalDirichletProcess:
         for dp in self.dps:
             dp.num_factor_children = sum(len(f.children)
                                          for f in dp.factors)
+
+    def k_means_init_factors(self, max_iters=100, num_restarts=3):
+        """k_means_init_factors (impl/hdp.c:1287-1435): replace the simple
+        single-chain factor initialisation with per-depth factor banks
+        derived from hierarchical 1-D k-means over the data (cluster the
+        data points, then cluster the centroids, level by level).  Public
+        API in the reference (its default call site is commented out,
+        impl/hdp.c:1540); call after data is passed, before sampling."""
+        if self.data is None or not self.finalized:
+            raise ValueError("pass data before k-means initialisation")
+        # drop the factors built by the default init, keep observed flags
+        for dp in self.dps:
+            dp.factors = set()
+            dp.num_factor_children = 0
+
+        tree_depth = self.depth
+        num_data = len(self.data)
+        depth_dp_counts = np.zeros(tree_depth, dtype=np.int64)
+        for dp in self.dps:
+            depth_dp_counts[dp.depth] += 1
+
+        # expected factor counts per level (Antoniak's E[#tables] =
+        # gamma log(1 + n/gamma)), split over the DPs of that level
+        expected = np.zeros(tree_depth, dtype=np.int64)
+        stat = self.gamma[0] * math.log(1.0 + num_data / self.gamma[0])
+        expected[0] = int(stat) // depth_dp_counts[tree_depth - 1] + 1
+        for i in range(1, tree_depth):
+            lower = expected[i - 1]
+            stat = self.gamma[i] * math.log(1.0 + lower / self.gamma[i])
+            expected[i] = min(int(stat) // depth_dp_counts[tree_depth - i - 1]
+                              + 1, lower)
+
+        assignments = [None] * tree_depth
+        centers = [None] * tree_depth
+        assignments[0], centers[0] = k_means(
+            int(expected[0]), self.data, max_iters, num_restarts, self.rng)
+        for i in range(1, tree_depth):
+            assignments[i], centers[i] = k_means(
+                int(expected[i]), centers[i - 1], max_iters, num_restarts,
+                self.rng)
+
+        # per-DP factor banks, filled lazily
+        bank = {dp.id: [None] * int(expected[tree_depth - dp.depth - 1])
+                for dp in self.dps}
+
+        for i, dp_id in enumerate(self.data_pt_dp_id):
+            dp = self.dps[int(dp_id)]
+            f = Factor(DATA_PT)
+            f.data_pt_idx = i
+            slot = int(assignments[0][i])
+            parent = bank[dp.id][slot]
+            if parent is None:
+                parent = Factor(MIDDLE, dp)
+                bank[dp.id][slot] = parent
+            f.parent = parent
+            parent.children.add(f)
+            dp.num_factor_children += 1
+
+        for depth in range(tree_depth - 1, 0, -1):
+            level_assign = assignments[tree_depth - depth]
+            for dp in self.dps:
+                if dp.depth != depth:
+                    continue
+                parent_dp = dp.parent
+                for j, fctr in enumerate(bank[dp.id]):
+                    if fctr is None:
+                        continue
+                    slot = int(level_assign[j])
+                    parent = bank[parent_dp.id][slot]
+                    if parent is None:
+                        parent = (Factor(MIDDLE, parent_dp) if depth > 1
+                                  else self._new_base_factor())
+                        bank[parent_dp.id][slot] = parent
+                    fctr.parent = parent
+                    parent.children.add(fctr)
+                    parent_dp.num_factor_children += 1
+
+        for base_fctr in list(self.base_dp.factors):
+            mean, ssd, n = self._factor_stats(base_fctr)
+            self._add_update_base_params(base_fctr, mean, ssd, float(n))
 
     # ------------------------------------------------------------------
     # factor math

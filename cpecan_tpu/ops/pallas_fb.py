@@ -99,6 +99,41 @@ def _dyn_lane_slice(ref, row, start, X):
     return rot[:, :X]
 
 
+def _dyn_lane_slice2(ref, row, start, W):
+    """ref[:, row, start:start+W] for traced start, with the covering
+    aligned window clamped into bounds (needed when start can reach the
+    last page; requires start + W <= lanes)."""
+    Ldim = ref.shape[-1]
+    if Ldim == W:
+        # single-window refs: start is necessarily 0
+        return ref[:, row, :]
+    L = min(W + 128, Ldim)
+    aligned = pl.multiple_of(
+        jnp.minimum((start // 128) * 128, Ldim - L), 128)
+    rem = start - aligned
+    win = ref[:, row, pl.ds(aligned, L)]
+    rot = pltpu.roll(win, L - rem, axis=1)
+    return rot[:, :W]
+
+
+class _RowSlices:
+    """Lazy per-row window slices of a [R, NROWS, L] VMEM ref, indexable
+    like the full tensor (obj[:, i, :] -> [R, W] at the window start)."""
+
+    def __init__(self, ref, start, W):
+        self.ref = ref
+        self.start = start
+        self.W = W
+        self._cache = {}
+
+    def __getitem__(self, key):
+        i = key[1]
+        if i not in self._cache:
+            self._cache[i] = _dyn_lane_slice2(self.ref, i, self.start,
+                                              self.W)
+        return self._cache[i]
+
+
 def _col_select_ref(ref, idx):
     """Column idx of a [R, L] VMEM ref as a lane-replicated [R, 1].
 
@@ -168,6 +203,36 @@ class _StrawmanSpec:
                           _shift_right(p2[2]) + t[T_YM]) + e_match
         new_y = _log_add(p1m + t[T_OY], p1y + t[T_EY]) + e_gapy
         return [new_m, new_x, new_y]
+
+    # window-frame variants: inputs arrive pre-aligned to the current
+    # window (p1m/p2m at source x-1, p1 at x; n1 at x, n1p/n2p/em2p at
+    # x+1), so no in-spec shifts — the band-local kernels compute on
+    # [R, W] tiles instead of [R, X] frames
+    @staticmethod
+    def fwd_update_w(t, xf, e_match, e_gapy, p1m, p1, p2m):
+        e_gapx = xf[:, 8, :]
+        new_x = _log_add3(p1m[0] + t[T_OX], p1m[1] + t[T_EX],
+                          p1m[2] + t[T_SX]) + e_gapx
+        new_m = _log_add3(p2m[0] + t[T_MM], p2m[1] + t[T_XM],
+                          p2m[2] + t[T_YM]) + e_match
+        new_y = _log_add(p1[0] + t[T_OY], p1[2] + t[T_EY]) + e_gapy
+        return [new_m, new_x, new_y]
+
+    @staticmethod
+    def bwd_update_w(t, xf, xfp, em1, eg1, em2p, n1, n1p, n2p):
+        e_gapx_p = xfp[:, 8, :]
+        mid = em2p + n2p[0]
+        bw_m = mid + t[T_MM]
+        bw_x = mid + t[T_XM]
+        bw_y = mid + t[T_YM]
+        up = eg1 + n1[2]
+        bw_m = _log_add(bw_m, up + t[T_OY])
+        bw_y = _log_add(bw_y, up + t[T_EY])
+        low = e_gapx_p + n1p[1]
+        bw_m = _log_add(bw_m, low + t[T_OX])
+        bw_x = _log_add(bw_x, low + t[T_EX])
+        bw_y = _log_add(bw_y, low + t[T_SX])
+        return [bw_m, bw_x, bw_y]
 
     @staticmethod
     def bwd_prelude(xf, t):
@@ -281,6 +346,34 @@ class _Sm4Spec(_StrawmanSpec):
         bw_lx = _log_add(mid + t[T4_MLX], low_l + t[T4_LEX])
         return [bw_m, bw_sx, bw_sy, bw_lx]
 
+    @staticmethod
+    def fwd_update_w(t, xf, e_match, e_gapy, p1m, p1, p2m):
+        e_gapx = xf[:, 8, :]
+        new_sx = _log_add(p1m[0] + t[T4_SOX],
+                          p1m[1] + t[T4_SEX]) + e_gapx
+        new_lx = _log_add3(p1m[0] + t[T4_LOX], p1m[3] + t[T4_LEX],
+                           p1m[2] + t[T4_LSX]) + e_gapx
+        new_m = _log_add(
+            _log_add(p2m[0] + t[T4_MM], p2m[1] + t[T4_MSX]),
+            _log_add(p2m[2] + t[T4_MSY], p2m[3] + t[T4_MLX])) + e_match
+        new_sy = _log_add(p1[0] + t[T4_SOY], p1[2] + t[T4_SEY]) + e_gapy
+        return [new_m, new_sx, new_sy, new_lx]
+
+    @staticmethod
+    def bwd_update_w(t, xf, xfp, em1, eg1, em2p, n1, n1p, n2p):
+        e_gapx_p = xfp[:, 8, :]
+        mid = em2p + n2p[0]
+        low_s = e_gapx_p + n1p[1]
+        low_l = e_gapx_p + n1p[3]
+        up = eg1 + n1[2]
+        bw_m = _log_add(_log_add(mid + t[T4_MM], low_s + t[T4_SOX]),
+                        _log_add(low_l + t[T4_LOX], up + t[T4_SOY]))
+        bw_sx = _log_add(mid + t[T4_MSX], low_s + t[T4_SEX])
+        bw_sy = _log_add3(mid + t[T4_MSY], low_l + t[T4_LSX],
+                          up + t[T4_SEY])
+        bw_lx = _log_add(mid + t[T4_MLX], low_l + t[T4_LEX])
+        return [bw_m, bw_sx, bw_sy, bw_lx]
+
 
 # 5-state DNA machine scalar order: lower(4), middle(5), upper(4)
 (T5_SOX, T5_SEX, T5_LOX, T5_LEX,
@@ -336,6 +429,40 @@ class _Dna5Spec:
         mid = _shift_left(em2 + n2[0])
         low_s = _shift_left(e_gapx + n1[1])
         low_l = _shift_left(e_gapx + n1[3])
+        up_s = eg1 + n1[2]
+        up_l = eg1 + n1[4]
+        bw_m = _log_add(
+            _log_add3(mid + t[T5_MM], low_s + t[T5_SOX],
+                      low_l + t[T5_LOX]),
+            _log_add(up_s + t[T5_SOY], up_l + t[T5_LOY]))
+        bw_sx = _log_add(mid + t[T5_MSX], low_s + t[T5_SEX])
+        bw_sy = _log_add(mid + t[T5_MSY], up_s + t[T5_SEY])
+        bw_lx = _log_add(mid + t[T5_MLX], low_l + t[T5_LEX])
+        bw_ly = _log_add(mid + t[T5_MLY], up_l + t[T5_LEY])
+        return [bw_m, bw_sx, bw_sy, bw_lx, bw_ly]
+
+    @staticmethod
+    def fwd_update_w(t, xf, e_match, e_gapy, p1m, p1, p2m):
+        e_gapx = xf[:, 5, :]
+        new_sx = _log_add(p1m[0] + t[T5_SOX],
+                          p1m[1] + t[T5_SEX]) + e_gapx
+        new_lx = _log_add(p1m[0] + t[T5_LOX],
+                          p1m[3] + t[T5_LEX]) + e_gapx
+        new_m = _log_add(
+            _log_add3(p2m[0] + t[T5_MM], p2m[1] + t[T5_MSX],
+                      p2m[2] + t[T5_MSY]),
+            _log_add(p2m[3] + t[T5_MLX],
+                     p2m[4] + t[T5_MLY])) + e_match
+        new_sy = _log_add(p1[0] + t[T5_SOY], p1[2] + t[T5_SEY]) + e_gapy
+        new_ly = _log_add(p1[0] + t[T5_LOY], p1[4] + t[T5_LEY]) + e_gapy
+        return [new_m, new_sx, new_sy, new_lx, new_ly]
+
+    @staticmethod
+    def bwd_update_w(t, xf, xfp, em1, eg1, em2p, n1, n1p, n2p):
+        e_gapx_p = xfp[:, 5, :]
+        mid = em2p + n2p[0]
+        low_s = e_gapx_p + n1p[1]
+        low_l = e_gapx_p + n1p[3]
         up_s = eg1 + n1[2]
         up_l = eg1 + n1[4]
         bw_m = _log_add(
@@ -458,6 +585,32 @@ class _VanillaSpec:
         bw_y = _log_add(mid + t[VA_YM], up + t[VA_YY])
         return [bw_m, bw_x, bw_y]
 
+    @staticmethod
+    def fwd_update_w(t, xf, e_match, e_gapy, p1m, p1, p2m):
+        la_mx, la_xx, la_mm, la_xm, la_my = (xf[:, i, :]
+                                             for i in range(8, 13))
+        new_x = _log_add(p1m[0] + la_mx, p1m[1] + la_xx)
+        new_m = _log_add3(p2m[0] + la_mm, p2m[1] + la_xm,
+                          p2m[2] + t[VA_YM]) + e_match
+        new_y = _log_add(p1[0] + la_my, p1[2] + t[VA_YY]) + e_gapy
+        return [new_m, new_x, new_y]
+
+    @staticmethod
+    def bwd_update_w(t, xf, xfp, em1, eg1, em2p, n1, n1p, n2p):
+        la_my = xf[:, 12, :]
+        # target-x transitions at x+1 come from the x+1 feature slice
+        la_mx_p = xfp[:, 8, :]
+        la_xx_p = xfp[:, 9, :]
+        la_mm_p = xfp[:, 10, :]
+        la_xm_p = xfp[:, 11, :]
+        mid = em2p + n2p[0]
+        up = eg1 + n1[2]
+        low = n1p[1]  # silent gap-X: no emission on lower
+        bw_m = _log_add3(mid + la_mm_p, low + la_mx_p, up + la_my)
+        bw_x = _log_add(mid + la_xm_p, low + la_xx_p)
+        bw_y = _log_add(mid + t[VA_YM], up + t[VA_YY])
+        return [bw_m, bw_x, bw_y]
+
     # EM expectations (cell_signal_updateBetaAndAlphaProb,
     # impl/pairwiseAligner.c:493-513): only the per-skip-bin beta (M->X)
     # and alpha (X->X) posterior masses are accumulated, per column
@@ -496,13 +649,16 @@ def _unpack_window(v, w0, X, W, R):
 
 def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
                         R, W, spec):
-    """One group of R reads: full forward pass over ND diagonals.  Each
-    diagonal is streamed to HBM band-locally as an [S, R, W] window at the
-    group window start winf[0, 0, d] (band ⊆ window by construction), which
-    keeps the forward tensor and its DMA X/W times smaller.  The emission
-    formulas and transition combines come from the machine `spec`; specs
-    with STREAMED=True read per-diagonal emission windows from an HBM
-    stream instead of computing them (HDP density tables)."""
+    """One group of R reads: full forward pass over ND diagonals, computed
+    BAND-LOCALLY: every diagonal lives directly in its [R, W] group window
+    (band ⊆ window by construction), carries re-align between consecutive
+    windows with one dynamic lane-roll per state, and per-step vector work
+    is W lanes instead of the full X frame — the dominant win when
+    W << X.  Each diagonal streams to HBM as an [S, R, W] window at
+    winf[0, 0, d].  Emission formulas / transition combines come from the
+    machine `spec` (window variants fwd_update_w); specs with
+    STREAMED=True read per-diagonal emission windows from an HBM stream
+    (HDP density tables) — those windows are already band-local."""
     streamed = getattr(spec, "STREAMED", False)
     if streamed:
         est_ref, out_ref, sem, scratch, escr = rest
@@ -511,46 +667,77 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
         out_ref, sem, scratch = rest
     g = pl.program_id(0)
     S = spec.S
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, X), 1).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    lanef = lane.astype(jnp.float32)
     t = [scal[0, i] for i in range(spec.NS + 3 * S)]
     S_M = spec.NS
 
-    def band_mask(d):
+    def band_mask(d, w):
         base = _col_select_ref(basef, d)
         width = _col_select_ref(widthf, d)
-        return (lane >= base) & (lane < base + width)
+        xl = lanef + w.astype(jnp.float32)
+        return (xl >= base) & (xl < base + width)
 
-    m0 = band_mask(0)
-    zeros = jnp.zeros((R, X), jnp.float32) + 0.0 * lane
-    prev1 = [jnp.where(m0, zeros + t[S_M + i], NEG) for i in range(S)]
-    neg = jnp.full((R, X), NEG, jnp.float32) + 0.0 * lane
+    def align(v, s):
+        # out[:, l] = v[:, l + s]; NEG where l + s falls outside [0, W)
+        r = pltpu.roll(v, jnp.mod(-s, W), axis=1)
+        ls = lane + s
+        return jnp.where((ls >= 0) & (ls < W), r, NEG)
 
     w0 = winf[0, 0, 0]
+    m0 = band_mask(0, w0)
+    zeros = jnp.zeros((R, W), jnp.float32) + 0.0 * lanef
+    prev1 = [jnp.where(m0, zeros + t[S_M + i], NEG) for i in range(S)]
+    neg = jnp.full((R, W), NEG, jnp.float32) + 0.0 * lanef
+
     for i in range(S):
-        scratch[0, i] = _window_out(prev1[i], w0, X, W)
+        scratch[0, i] = prev1[i]
     pltpu.make_async_copy(scratch.at[0], out_ref.at[g, 0], sem.at[0]).start()
 
+    # streamed emission windows are double-buffered: diagonal d+1's DMA is
+    # in flight while d computes
+    def est_start(d):
+        pltpu.make_async_copy(est_ref.at[g, d], escr.at[d % 2],
+                              sem.at[2 + d % 2]).start()
+
     def fetch_est(d):
-        cp = pltpu.make_async_copy(est_ref.at[g, d], escr, sem.at[2])
-        cp.start()
-        cp.wait()
-        return _unpack_window(escr[:, :], winf[0, 0, d], X, W, R)
+        pltpu.make_async_copy(est_ref.at[g, d], escr.at[d % 2],
+                              sem.at[2 + d % 2]).wait()
+        e = escr[d % 2]
+
+        @pl.when(d < ND)
+        def _():
+            est_start(d + 1)
+
+        return e
+
+    if streamed:
+        est_start(1)
 
     def step(d, carry):
         p1 = list(carry[:S])
         p2 = list(carry[S:])
+        w = winf[0, 0, d]
+        w1 = winf[0, 0, d - 1]
+        w2 = winf[0, 0, jnp.maximum(d - 2, 0)]
+        s1 = w - w1
+        s2 = w - w2
+        # absolute-x sources: lower/middle at x-1, upper at x
+        p1m = [align(v, s1 - 1) for v in p1]
+        p1a = [align(v, s1) for v in p1]
+        p2m = [align(v, s2 - 1) for v in p2]
+        xfw = _RowSlices(xf, w, W)
         if streamed:
             e_match = fetch_est(d)
             e_gapy = e_match
         else:
-            mean = _dyn_lane_slice(yf, 0, C - d, X)
-            noise = _dyn_lane_slice(yf, 1, C - d, X)
-            e_match, e_gapy = spec.emissions(xf, mean, noise)
+            mean = _dyn_lane_slice2(yf, 0, C - d + w, W)
+            noise = _dyn_lane_slice2(yf, 1, C - d + w, W)
+            e_match, e_gapy = spec.emissions(xfw, mean, noise)
 
-        # lower: prev1[x-1]; middle: prev2[x-1]; upper: prev1[x]
-        new = spec.fwd_update(t, xf, e_match, e_gapy, p1, p2)
+        new = spec.fwd_update_w(t, xfw, e_match, e_gapy, p1m, p1a, p2m)
 
-        mask = band_mask(d)
+        mask = band_mask(d, w)
         new = [jnp.where(mask, v, NEG) for v in new]
 
         slot = d % 2
@@ -560,9 +747,8 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
             pltpu.make_async_copy(scratch.at[slot], out_ref.at[g, d - 2],
                                   sem.at[slot]).wait()
 
-        w0 = winf[0, 0, d]
         for i in range(S):
-            scratch[slot, i] = _window_out(new[i], w0, X, W)
+            scratch[slot, i] = new[i]
         pltpu.make_async_copy(scratch.at[slot], out_ref.at[g, d],
                               sem.at[slot]).start()
         return tuple(new) + tuple(p1)
@@ -600,11 +786,187 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     sems, fscratch, pscratch = rest[:3]
     if streamed:
         escr = rest[3]
+    if not with_exp:
+        # fast band-local body (W-frame compute); the expectation path
+        # keeps the X-frame body (its per-column accumulators are indexed
+        # by absolute x)
+        return _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf,
+                                    seedf, raggedf, fwd_ref, est_ref,
+                                    post_ref, tot_ref, sems, fscratch,
+                                    pscratch, escr, X=X, ND=ND, C=C, R=R,
+                                    W=W, spec=spec)
     return _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf,
                               raggedf, fwd_ref, est_ref, post_ref, tot_ref,
                               trans_ref, gapx_ref, sems, fscratch, pscratch,
                               escr, X=X, ND=ND, C=C, R=R, W=W, spec=spec,
                               with_exp=with_exp)
+
+
+def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
+                         fwd_ref, est_ref, post_ref, tot_ref, sems,
+                         fscratch, pscratch, escr, *, X, ND, C, R, W, spec):
+    """Band-local full backward sweep d = ND..1 (see _sm3_backward_body for
+    the windowed-traceback semantics it replaces): every tile lives in its
+    diagonal's [R, W] group window; carried tiles re-align between windows
+    with one dynamic lane-roll per state.  Forward windows arrive from HBM
+    already band-local (no unpack); posteriors are emitted band-locally.
+    """
+    g = pl.program_id(0)
+    S = spec.S
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    lanef = lane.astype(jnp.float32)
+    t = [scal[0, i] for i in range(spec.NS + 3 * S)]
+    E_M = spec.NS + S
+    RE_M = spec.NS + 2 * S
+
+    def band(d, w):
+        base = _col_select_ref(basef, d)
+        width = _col_select_ref(widthf, d)
+        xl = lanef + w.astype(jnp.float32)
+        return (xl >= base) & (xl < base + width)
+
+    def align(v, s):
+        r = pltpu.roll(v, jnp.mod(-s, W), axis=1)
+        ls = lane + s
+        return jnp.where((ls >= 0) & (ls < W), r, NEG)
+
+    # streamed emission windows: double-buffered along the descending
+    # sweep; the returned tile is at the REQUESTED diagonal's own window
+    def est_start(d):
+        pltpu.make_async_copy(est_ref.at[g, d], escr.at[d % 2],
+                              sems.at[4 + d % 2]).start()
+
+    def emissions_at(d_em, x_start):
+        """Emission tiles for diagonal d_em with lanes l -> x_start + l."""
+        if est_ref is not None:
+            pltpu.make_async_copy(est_ref.at[g, d_em], escr.at[d_em % 2],
+                                  sems.at[4 + d_em % 2]).wait()
+            e = escr[d_em % 2]
+
+            @pl.when(d_em >= 3)
+            def _():
+                est_start(d_em - 1)
+
+            # stream windows live at w_{d_em}; realign to x_start
+            s = x_start - winf[0, 0, d_em]
+            e = align(e, s)
+            return e, e
+        xfw = _RowSlices(xf, x_start, W)
+        mean = _dyn_lane_slice2(yf, 0, C - d_em + x_start, W)
+        noise = _dyn_lane_slice2(yf, 1, C - d_em + x_start, W)
+        return spec.emissions(xfw, mean, noise)
+
+    if est_ref is not None:
+        est_start(ND + 2)
+
+    neg = jnp.full((R, W), NEG, jnp.float32) + 0.0 * lanef
+
+    def start_fetch(d, slot):
+        pltpu.make_async_copy(fwd_ref.at[g, d], fscratch.at[slot],
+                              sems.at[2 + slot]).start()
+
+    def wait_fetch(d, slot):
+        pltpu.make_async_copy(fwd_ref.at[g, d], fscratch.at[slot],
+                              sems.at[2 + slot]).wait()
+
+    start_fetch(ND, 0)
+
+    def step(s, carry):
+        # carries are RAW (each in its own diagonal's window): n1 = bwd[d+1]
+        # @ w_{d+1}, n2 = bwd[d+2] @ w_{d+2}; em/eg carry = emissions(d+2)
+        # at x = w_{d+1} + l (computed last step)
+        n1 = list(carry[:S])
+        n2 = list(carry[S:2 * S])
+        total, em_c, eg_c = carry[2 * S:2 * S + 3]
+        d = ND - s
+        w = winf[0, 0, d]
+        w1 = winf[0, 0, d + 1]
+        w2 = winf[0, 0, jnp.minimum(d + 2, ND + 2)]
+        sa = _col_select_ref(seedf, d)       # 0.0 or 1.0
+        ra = _col_select_ref(raggedf, d)
+        keep = 1.0 - sa
+
+        def cut(v):
+            return v * keep + NEG * sa
+
+        n1 = [cut(v) for v in n1]
+        n2 = [cut(v) for v in n2]
+
+        # alignment offsets into the current window
+        o1 = w - w1
+        o2 = w - w2
+        n1a = [align(v, o1) for v in n1]       # bwd[d+1] at x
+        n1p = [align(v, o1 + 1) for v in n1]   # bwd[d+1] at x+1
+        n2p = [align(v, o2 + 1) for v in n2]   # bwd[d+2] at x+1
+        # emissions(d+2) at x+1: realign the carried tile (at w1 frame);
+        # the cut rides on n2p, so the emission needs none
+        em2p = align(em_c, o1 + 1)
+        # emissions(d+1) at x, fresh (becomes next step's carry)
+        em1, eg1 = emissions_at(d + 1, w)
+
+        xfw = _RowSlices(xf, w, W)
+        xfp = _RowSlices(xf, w + 1, W)
+        bw = spec.bwd_update_w(t, xfw, xfp, em1, eg1, em2p, n1a, n1p, n2p)
+
+        mask = band(d, w)
+        nmask = jnp.logical_not(mask)
+        seed_in = sa * mask.astype(jnp.float32)
+        out_bw = []
+        for i in range(S):
+            v = jnp.where(nmask, NEG, bw[i])
+            init_i = t[E_M + i] * (1.0 - ra) + t[RE_M + i] * ra
+            out_bw.append(v * (1.0 - seed_in) + init_i * seed_in)
+        bw = out_bw
+
+        slot = s % 2
+        wait_fetch(d, slot)
+
+        @pl.when(d >= 2)
+        def _():
+            start_fetch(d - 1, (s + 1) % 2)
+
+        f = [fscratch[slot, i] for i in range(S)]
+
+        prod = f[0] + bw[0]
+        for i in range(1, S):
+            prod = _log_add(prod, f[i] + bw[i])
+        t0 = _masked_lse(prod, mask)
+        total = total * keep + t0 * sa
+
+        df = jnp.float32(d)
+        xl = lanef + w.astype(jnp.float32)
+        ok = mask & (xl > 0) & (xl < df)
+        post = jnp.where(ok, jnp.exp(jnp.minimum(f[0] + bw[0] - total,
+                                                 0.69)), 0.0)
+
+        pslot = s % 2
+
+        @pl.when(s >= 2)
+        def _():
+            pltpu.make_async_copy(pscratch.at[pslot],
+                                  post_ref.at[g, ND - (s - 2)],
+                                  sems.at[pslot]).wait()
+
+        pscratch[pslot] = post
+        pltpu.make_async_copy(pscratch.at[pslot], post_ref.at[g, d],
+                              sems.at[pslot]).start()
+
+        # next step's n2 = this step's (cut) n1, raw @ w_{d+1}; next
+        # step's em carry = emissions(d+1) at w (the next w1)
+        return tuple(bw) + tuple(n1) + (total, em1, eg1)
+
+    em_init, eg_init = emissions_at(ND + 2, winf[0, 0, jnp.int32(ND + 1)])
+    carry = ((neg,) * (2 * S)
+             + (jnp.full((R, 1), NEG, jnp.float32),
+                em_init + 0.0 * lanef, eg_init + 0.0 * lanef))
+    carry = jax.lax.fori_loop(0, ND, step, carry)
+    total = carry[2 * S]
+    tot_ref[0] = total + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
+
+    pltpu.make_async_copy(pscratch.at[(ND - 1) % 2], post_ref.at[g, 1],
+                          sems.at[(ND - 1) % 2]).wait()
+    pltpu.make_async_copy(pscratch.at[(ND - 2) % 2], post_ref.at[g, 2],
+                          sems.at[(ND - 2) % 2]).wait()
 
 
 def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
@@ -637,16 +999,30 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         width = _col_select_ref(widthf, d)
         return (lane >= base) & (lane < base + width)
 
+    # streamed emission windows are double-buffered along the descending
+    # sweep: emissions(d) waits its slot and immediately prefetches d-1,
+    # overlapping the DMA with this step's compute
+    def est_start(d):
+        pltpu.make_async_copy(est_ref.at[g, d], escr.at[d % 2],
+                              sems.at[4 + d % 2]).start()
+
     def emissions(d):
         if est_ref is not None:
-            cp = pltpu.make_async_copy(est_ref.at[g, d], escr, sems.at[4])
-            cp.start()
-            cp.wait()
-            e = _unpack_window(escr[:, :], winf[0, 0, d], X, W, R)
+            pltpu.make_async_copy(est_ref.at[g, d], escr.at[d % 2],
+                                  sems.at[4 + d % 2]).wait()
+            e = _unpack_window(escr[d % 2], winf[0, 0, d], X, W, R)
+
+            @pl.when(d >= 2)
+            def _():
+                est_start(d - 1)
+
             return e, e
         mean = _dyn_lane_slice(yf, 0, C - d, X)
         noise = _dyn_lane_slice(yf, 1, C - d, X)
         return spec.emissions(xf, mean, noise)
+
+    if est_ref is not None:
+        est_start(ND + 2)
 
     # 0*iota forces a non-replicated layout so the fori_loop carry
     # unifies with the computed (non-replicated) updates.
@@ -1118,7 +1494,9 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             seg_x_u = jnp.clip((nxay + (nxmy + exp_)) // 2, 0, l_x)
             seg_y_u = jnp.clip((pxay - (pxmy + exp_)) // 2, 0, l_y)
             d = jnp.arange(NDp, dtype=jnp.int32)
-            k = jnp.clip(jnp.searchsorted(nxay, d, side="left"), 0,
+            # first segment with nxay >= d, as a comparison-sum (tiny
+            # [NDp, n_seg] matrix; jnp.searchsorted lowers much slower)
+            k = jnp.clip(jnp.sum(nxay[None, :] < d[:, None], axis=1), 0,
                          nxay.shape[0] - 1)
             nz = d > 0
             x_l = jnp.where(nz, seg_x_l[k], 0)
@@ -1239,7 +1617,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
 
         streamed = getattr(self.spec, "STREAMED", False)
         est_in = ([pl.BlockSpec(memory_space=pl.ANY)] if streamed else [])
-        est_scr = ([pltpu.VMEM((R, W), jnp.float32)] if streamed else [])
+        est_scr = ([pltpu.VMEM((2, R, W), jnp.float32)] if streamed else [])
 
         def fwd(scal, win, xf, yf, basef, widthf, *est):
             G = xf.shape[0] // R
@@ -1252,7 +1630,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                 out_shape=jax.ShapeDtypeStruct((G, ND + 1, self.spec.S, R, W),
                                                jnp.float32),
                 scratch_shapes=[
-                    pltpu.SemaphoreType.DMA((3 if streamed else 2,)),
+                    pltpu.SemaphoreType.DMA((4 if streamed else 2,)),
                     pltpu.VMEM((2, self.spec.S, R, W), jnp.float32),
                 ] + est_scr,
                 compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -1307,7 +1685,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                     out_specs=out_specs + extra_specs,
                     out_shape=shapes(G),
                     scratch_shapes=[
-                        pltpu.SemaphoreType.DMA((5 if streamed else 4,)),
+                        pltpu.SemaphoreType.DMA((6 if streamed else 4,)),
                         pltpu.VMEM((2, self.spec.S, R, W), jnp.float32),
                         pltpu.VMEM((2, R, W), jnp.float32),
                     ] + est_scr,
@@ -1552,13 +1930,24 @@ class HdpPallasAligner(StrawmanPallasAligner):
         return lru[key][1]
 
     def _stream_args(self, sm, prep):
+        """Per-diagonal HDP emission windows, built GATHER-FREE: the spline
+        query dens(k(x), mean(y)) factors into a per-read kmer coefficient
+        table A[x, :] = (tab[k(x)], slo[k(x)]) and a per-read grid-weight
+        table Wv[y, :] (the cubic-interp coefficients of mean(y) scattered
+        onto the grid axis), so each diagonal's window is a rowwise dot of
+        two CONTIGUOUS slices (x = win+l ascending, y = d-x descending) —
+        no per-cell gathers (the previous 4-gather-per-cell build dominated
+        the whole HDP path).  Matches grid_spline_interp
+        (impl/hdp_math_utils.c) / dir_proc_density (impl/hdp.c:2577-2601).
+        """
         from ..constants import NUM_OF_KMERS
         grid, tables_dev, slopes_dev = self._hdp_tables(sm)
         G_len = int(tables_dev.shape[1])
         X, ND, W, R = prep["X"], prep["ND"], prep["W"], prep["R"]
         Gg = prep["Bp"] // R
         log_density = sm.log_density
-        key = ("est", ND, W, X, R, Gg, G_len, log_density)
+        Emax = prep["ev"].shape[1]
+        key = ("est", ND, W, X, R, Gg, G_len, log_density, Emax)
         if key not in self._cache:
             D = ND + 3
 
@@ -1566,50 +1955,86 @@ class HdpPallasAligner(StrawmanPallasAligner):
                 kx = kx.astype(jnp.int32)
                 valid = kx <= NUM_OF_KMERS
                 safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
-                Emax = evm.shape[1]
-                dd = jnp.arange(D)[:, None]
-                lanes = jnp.arange(W)[None, :]
 
-                def one(win_g, kx_r, kv_r, evm_r):
-                    x = win_g[:D, None] + lanes          # [D, W]
-                    y = dd - x
-                    xs = jnp.clip(x, 0, X - 1)
-                    k = kx_r[xs]
-                    kv = kv_r[xs]
-                    mean = evm_r[jnp.clip(y, 0, Emax - 1)]
-                    # grid_spline_interp on the even grid
-                    i = jnp.clip(((mean - grid0) / dx).astype(jnp.int32),
-                                 0, G_len - 2)
-                    y0 = tab[k, i]
-                    y1 = tab[k, i + 1]
-                    s0 = slo[k, i]
-                    s1 = slo[k, i + 1]
-                    dyv = y1 - y0
-                    a = s0 * dx - dyv
-                    b = dyv - s1 * dx
-                    tt = (mean - (grid0 + i * dx)) / dx
-                    u = 1.0 - tt
-                    midv = u * y0 + tt * y1 + tt * u * (a * u + b * tt)
-                    lo = tab[k, 0] - slo[k, 0] * (grid0 - mean)
-                    hi = (tab[k, G_len - 1]
-                          + slo[k, G_len - 1] * (mean - glast))
-                    dens = jnp.where(mean <= grid0, lo,
-                                     jnp.where(mean >= glast, hi, midv))
-                    dens = jnp.maximum(dens, 0.0)
+                # per-read kmer coefficient rows [Bp, X, 2*Gl]
+                ktab = jnp.where(valid[:, :, None], tab[safe], 0.0)
+                kslo = jnp.where(valid[:, :, None], slo[safe], 0.0)
+                A = jnp.concatenate([ktab, kslo], axis=-1)
+
+                # per-event grid weights [Bp, Emax, Gl] x 2 channels:
+                # midv = c0*y0 + c1*y1 + cs0*s0 + cs1*s1 (the expansion of
+                # u*y0 + t*y1 + t*u*(a*u + b*t))
+                mean = evm
+                i = jnp.clip(((mean - grid0) / dx).astype(jnp.int32),
+                             0, G_len - 2)
+                tt = (mean - (grid0 + i.astype(mean.dtype) * dx)) / dx
+                u = 1.0 - tt
+                c0 = u + tt * u * u - tt * tt * u
+                c1 = tt + tt * tt * u - tt * u * u
+                cs0 = tt * u * u * dx
+                cs1 = -tt * tt * u * dx
+                gi = jnp.arange(G_len)
+                oh_i = (gi[None, None, :] == i[:, :, None])
+                oh_i1 = (gi[None, None, :] == (i + 1)[:, :, None])
+                wt_mid = (oh_i * c0[..., None] + oh_i1 * c1[..., None])
+                ws_mid = (oh_i * cs0[..., None] + oh_i1 * cs1[..., None])
+                e0 = (gi == 0).astype(mean.dtype)
+                eL = (gi == G_len - 1).astype(mean.dtype)
+                low = (mean <= grid0)[..., None]
+                high = (mean >= glast)[..., None]
+                wt = jnp.where(low, e0, jnp.where(high, eL, wt_mid))
+                ws = jnp.where(
+                    low, e0 * (mean - grid0)[..., None],
+                    jnp.where(high, eL * (mean - glast)[..., None], ws_mid))
+                Wv = jnp.concatenate([wt, ws], axis=-1).astype(jnp.float32)
+                # pad the y axis by W both sides (lane windows run past the
+                # event range at the matrix corners)
+                Wp = jnp.pad(Wv, ((0, 0), (W, W), (0, 0)))
+
+                lanes = jnp.arange(W)
+                kvf = valid.astype(jnp.float32)
+                Bp = kx.shape[0]
+                # per-read window start per diagonal (group windows
+                # broadcast over the group's reads) [D, Bp]
+                w_rows = jnp.repeat(win[:, :D], R, axis=0).T.astype(
+                    jnp.int32)
+
+                def slice_rows(M, starts, L):
+                    zero = jnp.zeros_like(starts[0])
+                    return jax.vmap(
+                        lambda m, s: jax.lax.dynamic_slice(
+                            m, (s, zero), (L, 2 * G_len)))(M, starts)
+
+                # scan over diagonals: each step slices [Bp, W, 2Gl] and
+                # reduces — a vmap over d would materialise the full
+                # [D, W, 2Gl] gather per read (tens of GB)
+                def step(_, dw):
+                    d, w_all = dw
+                    a = slice_rows(A, w_all, W)
+                    s = jnp.clip(d - w_all - W + 1 + W, 0,
+                                 Emax + W).astype(jnp.int32)
+                    wv = slice_rows(Wp, s, W)[:, ::-1, :]
+                    dens = jax.lax.dot_general(
+                        a, wv, (((2,), (2,)), ((0, 1), (0, 1))),
+                        preferred_element_type=jnp.float32)
+                    y_l = d - w_all[:, None] - lanes[None, :]
+                    ok = (y_l >= 0) & (y_l < Emax)
+                    kvw = jax.vmap(
+                        lambda m, ss: jax.lax.dynamic_slice(m, (ss,),
+                                                            (W,)))(
+                        kvf, w_all)
+                    dens = jnp.where(ok, jnp.maximum(dens, 0.0), 0.0)
                     if log_density:
-                        dens = jnp.where(dens > 0.0,
-                                         jnp.log(jnp.maximum(dens, 1e-30)),
-                                         NEG)
-                    return jnp.where(kv, dens, NEG).astype(jnp.float32)
+                        dens = jnp.where(
+                            dens > 0.0,
+                            jnp.log(jnp.maximum(dens, 1e-30)), NEG)
+                    return 0, jnp.where(kvw > 0.5, dens, NEG)
 
-                kx2 = safe.reshape(Gg, R, X)
-                kv2 = valid.reshape(Gg, R, X)
-                ev2 = evm.reshape(Gg, R, Emax)
-                est = jax.vmap(lambda wg, kg, vg, eg: jax.vmap(
-                    lambda kr, vr, er: one(wg, kr, vr, er))(kg, vg, eg))(
-                    win, kx2, kv2, ev2)
-                # [Gg, R, D, W] -> [Gg, D, R, W]
-                return est.transpose(0, 2, 1, 3)
+                dd = jnp.arange(D, dtype=jnp.int32)
+                _, est = jax.lax.scan(step, 0, (dd, w_rows))
+                # [D, Bp, W] -> [Gg, D, R, W]
+                return est.reshape(D, Gg, R, W).transpose(1, 0, 2, 3) \
+                    .astype(jnp.float32)
 
             self._cache[key] = jax.jit(build)
         fn = self._cache[key]
@@ -1784,6 +2209,14 @@ def compact_posteriors(posts, k=4096):
     diagonals of the windowed tensor.  Keeps the device->host transfer tiny
     (essential on slow links) and the top-k cheap (W lanes, not X).
 
+    Hierarchical and EXACT: max-pool POOL consecutive diagonals, top-k the
+    pooled positions, gather each candidate's POOL cells, then top-k those.
+    Any cell in the true top-k lives in a pooled position whose max is >=
+    its value, and fewer than k pooled positions can beat it — so the
+    candidate set provably contains the true top-k, at ~POOL x less
+    full-tensor top-k work (lax.top_k over the full plane dominates
+    otherwise).
+
     posts: [G, ND+1, R, W] -> (values [G, R, k], flat_idx [G, R, k]) where
     flat_idx encodes (d-1) * W + l (diagonal 0 is never emitted).
     """
@@ -1791,8 +2224,26 @@ def compact_posteriors(posts, k=4096):
     import jax.numpy as jnp
 
     G, ND1, R, W = posts.shape
-    p = posts[:, 1:].transpose(0, 2, 1, 3).reshape(G, R, (ND1 - 1) * W)
-    vals, idx = jax.lax.top_k(p, k)
+    N = ND1 - 1
+    POOL = 8
+    p = posts[:, 1:].transpose(0, 2, 1, 3)          # [G, R, N, W]
+    if N % POOL:
+        pad = POOL - N % POOL
+        p = jnp.concatenate(
+            [p, jnp.zeros((G, R, pad, W), p.dtype)], axis=2)
+    NP = p.shape[2] // POOL
+    pooled = p.reshape(G, R, NP, POOL, W).max(axis=3).reshape(G, R, NP * W)
+    kp = min(k, NP * W)
+    _, pidx = jax.lax.top_k(pooled, kp)             # pooled positions
+    # expand each pooled position to its POOL cell indices in the flat plane
+    chunk = pidx // W
+    lane = pidx % W
+    full = ((chunk[..., None] * POOL + jnp.arange(POOL)) * W
+            + lane[..., None]).reshape(G, R, kp * POOL)
+    flat = p.reshape(G, R, -1)
+    cand = jnp.take_along_axis(flat, full, axis=-1)
+    vals, sub = jax.lax.top_k(cand, min(k, kp * POOL))
+    idx = jnp.take_along_axis(full, sub, axis=-1)
     return vals, idx
 
 

@@ -256,3 +256,51 @@ def test_assignment_collection_from_pairs(template_model):
     a1 = sorted(zip(h1.kmer_assignments, h1.event_assignments))
     a2 = sorted(zip(h2.kmer_assignments, h2.event_assignments))
     assert a1 == a2
+
+
+def test_k_means_and_init_factors():
+    """k_means (impl/hdp.c:1154-1251) + k_means_init_factors (:1287-1435):
+    hierarchical k-means factor banks replace the single-chain init; the
+    python Gibbs sampler continues from them."""
+    from cpecan_tpu.hdp.hdp import (HierarchicalDirichletProcess, k_means)
+
+    rng = np.random.default_rng(0)
+    data = np.concatenate([rng.normal(0, 0.3, 50), rng.normal(10, 0.3, 50)])
+    a, c = k_means(2, data, 100, 3, np.random.default_rng(1))
+    assert len(set(a[:50].tolist())) == 1
+    assert len(set(a[50:].tolist())) == 1
+    assert a[0] != a[-1]
+    assert sorted(np.round(np.sort(c)).tolist()) == [0.0, 10.0]
+
+    hdp = HierarchicalDirichletProcess(
+        5, 2, gamma=[2.0, 2.0], grid_start=-5.0, grid_stop=15.0,
+        grid_length=50, mu=5.0, nu=1.0, alpha=2.0, beta=5.0, seed=3)
+    for leaf in range(4):
+        hdp.set_dir_proc_parent(leaf, 4)
+    hdp.finalize_structure()
+    dp_ids = (np.arange(len(data)) % 4).tolist()
+    hdp.pass_data(data, dp_ids)
+    hdp.k_means_init_factors()
+
+    # every data point hangs under a middle factor that chains to a base
+    # factor; counts are consistent
+    assert hdp.base_dp.factors
+    n_data_factors = 0
+    for dp in hdp.dps:
+        if not dp.observed or dp.children:
+            continue
+        for f in dp.factors:
+            for child in f.children:
+                assert child.data_pt_idx is not None
+                n_data_factors += 1
+            assert f.parent in hdp.base_dp.factors
+    assert n_data_factors == len(data)
+    # multiple clusters were actually created at the leaf level
+    assert any(len(dp.factors) > 1 for dp in hdp.dps if dp.observed)
+
+    hdp.execute_gibbs_sampling(num_samples=3, burn_in=20, thinning=5,
+                               backend="python")
+    hdp.finalize_distributions()
+    d0 = hdp.dir_proc_density(0.0, 0)
+    d5 = hdp.dir_proc_density(5.0, 0)
+    assert np.isfinite(d0) and d0 >= 0.0 and np.isfinite(d5)
