@@ -57,13 +57,16 @@ def _emit(metric, value, unit, baseline=None):
 
 
 def bench_headline(sm, reads, pa):
-    """Chunked, pipelined batch: dispatch every chunk, sync once."""
-    chunk = 64
+    """Chunked, pipelined batch: dispatch every chunk, sync once.
+    chunk=128 / compact_k=1024 measured best on this tunnel (no top-k
+    saturation at Zymo scale; the auto-extractor falls back if one
+    occurs)."""
+    chunk = 128
 
     def run():
         outs = []
         for i in range(0, len(reads), chunk):
-            outs.append(pa.run(sm, reads[i:i + chunk], compact_k=2048))
+            outs.append(pa.run(sm, reads[i:i + chunk], compact_k=1024))
         return [(np.asarray(o["compact"][0]), np.asarray(o["compact"][1]))
                 for o in outs], outs
 

@@ -190,20 +190,6 @@ class _StrawmanSpec:
                   + _gauss(noise, xf[:, 6, :], xf[:, 7, :]))
         return e_match, e_gapy
 
-    @staticmethod
-    def fwd_update(t, xf, e_match, e_gapy, p1, p2):
-        p1m, p1x, p1y = p1
-        e_gapx = xf[:, 8, :]
-        sm = _shift_right(p1m)
-        sx = _shift_right(p1x)
-        sy = _shift_right(p1y)
-        new_x = _log_add3(sm + t[T_OX], sx + t[T_EX], sy + t[T_SX]) + e_gapx
-        new_m = _log_add3(_shift_right(p2[0]) + t[T_MM],
-                          _shift_right(p2[1]) + t[T_XM],
-                          _shift_right(p2[2]) + t[T_YM]) + e_match
-        new_y = _log_add(p1m + t[T_OY], p1y + t[T_EY]) + e_gapy
-        return [new_m, new_x, new_y]
-
     # window-frame variants: inputs arrive pre-aligned to the current
     # window (p1m/p2m at source x-1, p1 at x; n1 at x, n1p/n2p/em2p at
     # x+1), so no in-spec shifts — the band-local kernels compute on
@@ -315,23 +301,6 @@ class _Sm4Spec(_StrawmanSpec):
     EXP_LANES = None
 
     @staticmethod
-    def fwd_update(t, xf, e_match, e_gapy, p1, p2):
-        e_gapx = xf[:, 8, :]
-        sr_m = _shift_right(p1[0])
-        new_sx = _log_add(sr_m + t[T4_SOX],
-                          _shift_right(p1[1]) + t[T4_SEX]) + e_gapx
-        new_lx = _log_add3(sr_m + t[T4_LOX],
-                           _shift_right(p1[3]) + t[T4_LEX],
-                           _shift_right(p1[2]) + t[T4_LSX]) + e_gapx
-        new_m = _log_add(
-            _log_add(_shift_right(p2[0]) + t[T4_MM],
-                     _shift_right(p2[1]) + t[T4_MSX]),
-            _log_add(_shift_right(p2[2]) + t[T4_MSY],
-                     _shift_right(p2[3]) + t[T4_MLX])) + e_match
-        new_sy = _log_add(p1[0] + t[T4_SOY], p1[2] + t[T4_SEY]) + e_gapy
-        return [new_m, new_sx, new_sy, new_lx]
-
-    @staticmethod
     def bwd_update(t, xf, pre, em1, eg1, em2, n1, n2):
         e_gapx = xf[:, 8, :]
         mid = _shift_left(em2 + n2[0])
@@ -400,24 +369,6 @@ class _Dna5Spec:
             e_match = e_match + jnp.where(mean == float(b), xf[:, b, :],
                                           0.0)
         return e_match, noise
-
-    @staticmethod
-    def fwd_update(t, xf, e_match, e_gapy, p1, p2):
-        e_gapx = xf[:, 5, :]
-        sr_m = _shift_right(p1[0])
-        new_sx = _log_add(sr_m + t[T5_SOX],
-                          _shift_right(p1[1]) + t[T5_SEX]) + e_gapx
-        new_lx = _log_add(sr_m + t[T5_LOX],
-                          _shift_right(p1[3]) + t[T5_LEX]) + e_gapx
-        new_m = _log_add(
-            _log_add3(_shift_right(p2[0]) + t[T5_MM],
-                      _shift_right(p2[1]) + t[T5_MSX],
-                      _shift_right(p2[2]) + t[T5_MSY]),
-            _log_add(_shift_right(p2[3]) + t[T5_MLX],
-                     _shift_right(p2[4]) + t[T5_MLY])) + e_match
-        new_sy = _log_add(p1[0] + t[T5_SOY], p1[2] + t[T5_SEY]) + e_gapy
-        new_ly = _log_add(p1[0] + t[T5_LOY], p1[4] + t[T5_LEY]) + e_gapy
-        return [new_m, new_sx, new_sy, new_lx, new_ly]
 
     @staticmethod
     def bwd_prelude(xf, t):
@@ -554,19 +505,6 @@ class _VanillaSpec:
         e_gapy = (_gauss(mean, xf[:, 4, :], xf[:, 5, :])
                   + _inv_gauss(noise, xf[:, 6, :], xf[:, 7, :]))
         return e_match, e_gapy
-
-    @staticmethod
-    def fwd_update(t, xf, e_match, e_gapy, p1, p2):
-        p1m, p1x, p1y = p1
-        la_mx, la_xx, la_mm, la_xm, la_my = (xf[:, i, :]
-                                             for i in range(8, 13))
-        new_x = _log_add(_shift_right(p1m) + la_mx,
-                         _shift_right(p1x) + la_xx)
-        new_m = _log_add3(_shift_right(p2[0]) + la_mm,
-                          _shift_right(p2[1]) + la_xm,
-                          _shift_right(p2[2]) + t[VA_YM]) + e_match
-        new_y = _log_add(p1m + la_my, p1y + t[VA_YY]) + e_gapy
-        return [new_m, new_x, new_y]
 
     @staticmethod
     def bwd_prelude(xf, t):
@@ -1453,7 +1391,14 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             sp[:, 1] = 0.0  # identity: scale 1, shift 0, var/sds 1
             sp[:B] = np.asarray(scale_params, np.float32)
             out_extra["sp"] = sp
+        # one coalesced int32 upload for (anchors, meta, windows): each
+        # device_put pays a fixed tunnel round-trip, so fewer/larger
+        # transfers win
+        bandmeta = np.concatenate([
+            anch.astype(np.int32).ravel(), meta.ravel(),
+            win.astype(np.int32).ravel()])
         return dict(**finputs, **out_extra, anch=anch, meta=meta,
+                    bandmeta=bandmeta,
                     win=win, bands=bands, X=X, ND=ND, C=C,
                     B=B, Bp=Bp, R=R, W=W, NDp=NDp)
 
@@ -1534,10 +1479,24 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         # features assemble on device from compact uploads (kmer indices +
         # events + once-per-model tables) — the upload link is slow
         xf, yf = self._device_features(sm, prep)
-        basef, widthf, seedf, raggedf = self._device_bands(
-            prep["NDp"], prep["anch"].shape[1])(
-            jax.device_put(prep["anch"]), jax.device_put(prep["meta"]))
-        win3 = jax.device_put(prep["win"][:, None, :])
+        Bp, A = prep["anch"].shape[:2]
+        G = Bp // prep["R"]
+        NDp = prep["NDp"]
+        key = ("bandsplit", Bp, A, G, NDp)
+        if key not in self._cache:
+            na, nm = Bp * A * 2, Bp * 4
+
+            def split(bm):
+                anch = bm[:na].reshape(Bp, A, 2)
+                meta = bm[na:na + nm].reshape(Bp, 4)
+                win3 = bm[na + nm:].reshape(G, 1, NDp)
+                return anch, meta, win3
+
+            self._cache[key] = jax.jit(split)
+        anch_d, meta_d, win3 = self._cache[key](
+            jax.device_put(prep["bandmeta"]))
+        basef, widthf, seedf, raggedf = self._device_bands(NDp, A)(
+            anch_d, meta_d)
         extra = self._stream_args(sm, prep)  # () unless spec.STREAMED
         fwd = fwd_fn(scal, win3, xf, yf, basef, widthf, *extra)
         out = {}

@@ -66,3 +66,30 @@ def test_make_temp_sequence(tmp_path):
 
 def test_get_proceding_kmers():
     assert get_proceding_kmers("ACG") == ["ACG", "CCG", "GCG", "TCG"]
+
+
+def test_real_bwa_guide_roundtrip(tmp_path):
+    """Run the REAL bwa path end to end (index + mem -x ont2d -> guide
+    cigar), like scripts/nanoporeLib.py:202-235 does; skipped where the
+    bwa binary is absent (it is runtime-gated, PARITY §2.10)."""
+    import numpy as np
+    import pytest
+    from cpecan_tpu.io.guide import (bwa_available, exonerated_bwa,
+                                     get_bwa_index)
+
+    if not bwa_available():
+        pytest.skip("bwa binary not on PATH")
+    rng = np.random.default_rng(7)
+    ref = "".join(rng.choice(list("ACGT"), 600))
+    read = ref[100:400]
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_text(">ref\n" + ref + "\n")
+    read_fa = tmp_path / "read.fa"
+    read_fa.write_text(">r1\n" + read + "\n")
+    prefix = get_bwa_index(str(ref_fa), str(tmp_path))
+    cigar = exonerated_bwa(prefix, str(read_fa))
+    assert cigar and cigar.startswith("cigar:")
+    from cpecan_tpu.io.cigar import parse_cigar_line
+    aln = parse_cigar_line(cigar)
+    # bwa must find the embedded region
+    assert aln.start1 >= 90 and aln.end1 <= 410
