@@ -199,6 +199,56 @@ def bench_signal_em(sm, reads):
           "accumulators)")
 
 
+def bench_echelon():
+    from cpecan_tpu.align import AlignmentParams
+    from cpecan_tpu.io.poremodel import load_pore_model
+    from cpecan_tpu.models.kmers import seq_to_kmer_indices
+    from cpecan_tpu.models.state_machines import StateMachineEchelon
+    from cpecan_tpu.ops.pallas_fb import EchelonPallasAligner
+
+    try:
+        model = load_pore_model(
+            "/root/reference/models/template_median68pA.model")
+    except OSError:
+        return
+    rng = np.random.default_rng(6)
+    mm = model.match_model
+    reads = []
+    for r in range(64):
+        n = 905
+        ref = "".join(rng.choice(list("ACGT"), n))
+        l_x = n - 5
+        kidx = seq_to_kmer_indices(ref)
+        ev = np.zeros((800, 3))
+        for i in range(800):
+            k = kidx[min(int(i * l_x / 800), l_x - 1)]
+            ev[i, 0] = mm[k, 0] + rng.normal(0, 0.5)
+            ev[i, 1] = max(mm[k, 2], 0.1)
+            ev[i, 2] = 0.01
+        anchors = []
+        px = py = -1
+        for j in range(1, 10):
+            x = int(j * (l_x - 2) / 10) + 1
+            y = int(j * 798 / 10) + 1
+            if x > px and y > py:
+                anchors.append((x, y))
+                px, py = x, y
+        reads.append((ref, ev, l_x, 800, anchors))
+    sm = StateMachineEchelon(model)
+    pa = EchelonPallasAligner(AlignmentParams(threshold=0.15),
+                              interpret=False, group=8)
+
+    def run():
+        out = pa.run(sm, reads, compact_k=2048)
+        return np.asarray(out["compact"][0])
+
+    run()
+    dt = _median_time(run)
+    _emit("echelon_alignments_per_sec", len(reads) / dt,
+          "alignments/s (7-state multi-kmer echelon, multi-state "
+          "posterior windows)")
+
+
 def bench_hdp(reads):
     from cpecan_tpu.align import AlignmentParams
     from cpecan_tpu.hdp.nanopore_hdp import flat_hdp_model_2
@@ -262,6 +312,7 @@ def main():
                bench_dna_realign,
                bench_dna_em,
                lambda: bench_signal_em(sm, reads),
+               bench_echelon,
                lambda: bench_hdp(reads)):
         try:
             fn()

@@ -105,8 +105,9 @@ def _dyn_lane_slice2(ref, row, start, W):
     last page; requires start + W <= lanes)."""
     Ldim = ref.shape[-1]
     if Ldim == W:
-        # single-window refs: start is necessarily 0
-        return ref[:, row, :]
+        # single-window refs: rotate the whole row (lanes past the end
+        # wrap, but they are always outside every band)
+        return pltpu.roll(ref[:, row, :], jnp.mod(-start, W), axis=1)
     L = min(W + 128, Ldim)
     aligned = pl.multiple_of(
         jnp.minimum((start // 128) * 128, Ldim - L), 128)
@@ -569,6 +570,111 @@ class _VanillaSpec:
         return {}, (p_beta, p_alpha)
 
 
+def _exact_log_add(a, b):
+    """Exact log(exp(a)+exp(b)) (not the piecewise cubic) — the echelon
+    multi-kmer fold uses true logAdd in the reference too."""
+    hi = jnp.maximum(a, b)
+    lo = jnp.minimum(a, b)
+    return hi + jnp.log1p(jnp.exp(jnp.maximum(lo - hi, -80.0)))
+
+
+class _EchelonSpec:
+    """7-state echelon machine (stateMachineEchelon_cellCalculate,
+    impl/stateMachine.c:1411-1459) on the band-local wavefront kernels:
+    states (match0, match1..match5, gapX); an event emits 1..5 kmers with
+    a Poisson duration posterior; posteriors are multi-state (match1..5),
+    expanded to (x+n, y) pairs host-side
+    (diagonalCalculationMultiPosteriorMatchProbs,
+    impl/pairwiseAligner.c:824-866).
+
+    xf rows: 4i..4i+3 = (lvl_mu, lvl_sd, nz_mu, nz_lambda) of the kmer at
+    offset i (i = 0..4); 20..23 = the scaled/gap model of the first kmer;
+    24..27 = skip transition logs la_mx/la_mh/la_xx/la_xh; 28..32 =
+    multi-kmer validity for n = 1..5.
+    yf rows: 0..5 = Poisson duration posteriors dur_0..dur_5; 6 = event
+    mean; 7 = event noise.
+
+    The reference defines no echelon EM (its cellCalculateUpdateExpectations
+    is NULL, impl/stateMachine.c:1823-1833) — EXP_LANES stays None.
+    """
+
+    S = 7
+    NS = 0
+    NXF = 33
+    Y_ROWS = 8
+    POST_STATES = (1, 2, 3, 4, 5)
+    EXP_LANES = None
+
+    @staticmethod
+    def emissions(xf, *ys):
+        dur = ys[:6]
+        mean, noise = ys[6], ys[7]
+        # multipleKmerMatchProb folds from 0.0, NOT log-zero — a reference
+        # quirk preserved bit-for-bit (impl/stateMachine.c:533)
+        acc = jnp.zeros_like(mean)
+        w_n = []
+        for n in range(1, 6):
+            i = n - 1
+            term = (_gauss(mean, xf[:, 4 * i, :], xf[:, 4 * i + 1, :])
+                    + _inv_gauss(noise, xf[:, 4 * i + 2, :],
+                                 xf[:, 4 * i + 3, :]))
+            acc = _exact_log_add(acc, term)
+            e_n = jnp.where(xf[:, 27 + n, :] > 0.5,
+                            acc - float(np.log(n)), NEG)
+            w_n.append(jnp.maximum(e_n + dur[n], NEG))
+        e_scaled = (_gauss(mean, xf[:, 20, :], xf[:, 21, :])
+                    + _inv_gauss(noise, xf[:, 22, :], xf[:, 23, :]))
+        return tuple(w_n), jnp.maximum(e_scaled + dur[0], NEG)
+
+    @staticmethod
+    def fwd_update_w(t, xf, e_match, e_gapy, p1m, p1, p2m):
+        w_n = e_match            # 5-tuple of per-n emission+duration terms
+        scaled = e_gapy
+        la_mx = xf[:, 24, :]
+        la_mh = xf[:, 25, :]
+        la_xx = xf[:, 26, :]
+        la_xh = xf[:, 27, :]
+        # middle: every state at (d-2, x-1) -> match_n; the per-source
+        # transition is the same for all n, so fold sources once
+        src_m = p2m[0]
+        for i in range(1, 6):
+            src_m = _log_add(src_m, p2m[i])
+        mid = _log_add(src_m + la_mh, p2m[6] + la_xh)
+        new_mn = [mid + w for w in w_n]
+        # upper: match_1..5 at (d-1, x) -> match0 (extra event)
+        src_u = p1[1]
+        for i in range(2, 6):
+            src_u = _log_add(src_u, p1[i])
+        new_m0 = src_u + la_mh + scaled
+        # lower: match_1..5 / gapX at (d-1, x-1) -> gapX (silent)
+        src_l = p1m[1]
+        for i in range(2, 6):
+            src_l = _log_add(src_l, p1m[i])
+        new_x = _log_add(src_l + la_mx, p1m[6] + la_xx)
+        return [new_m0] + new_mn + [new_x]
+
+    @staticmethod
+    def bwd_update_w(t, xf, xfp, em1, eg1, em2p, n1, n1p, n2p):
+        w_n2 = em2p              # per-n terms at (d+2, x+1)
+        scaled1 = eg1            # scaled+dur0 at (d+1, x)
+        la_mx_p = xfp[:, 24, :]
+        la_mh_p = xfp[:, 25, :]
+        la_xx_p = xfp[:, 26, :]
+        la_xh_p = xfp[:, 27, :]
+        la_mh_x = xf[:, 25, :]
+        mid = w_n2[0] + n2p[1]
+        for n in range(2, 6):
+            mid = _log_add(mid, w_n2[n - 1] + n2p[n])
+        low = n1p[6]
+        up = scaled1 + n1[0]
+        bw_m0 = mid + la_mh_p
+        # match_1..5 share an identical outgoing fan (their differences
+        # are forward emissions only)
+        bw_m = _log_add3(mid + la_mh_p, low + la_mx_p, up + la_mh_x)
+        bw_x = _log_add(mid + la_xh_p, low + la_xx_p)
+        return [bw_m0] + [bw_m] * 5 + [bw_x]
+
+
 def _window_out(v, w0, X, W):
     """[R, X] tile -> its [R, W] band-local window at lane offset w0."""
     if W == X:
@@ -669,9 +775,9 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
             e_match = fetch_est(d)
             e_gapy = e_match
         else:
-            mean = _dyn_lane_slice2(yf, 0, C - d + w, W)
-            noise = _dyn_lane_slice2(yf, 1, C - d + w, W)
-            e_match, e_gapy = spec.emissions(xfw, mean, noise)
+            ys = [_dyn_lane_slice2(yf, r, C - d + w, W)
+                  for r in range(getattr(spec, "Y_ROWS", 2))]
+            e_match, e_gapy = spec.emissions(xfw, *ys)
 
         new = spec.fwd_update_w(t, xfw, e_match, e_gapy, p1m, p1a, p2m)
 
@@ -790,9 +896,9 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
             e = align(e, s)
             return e, e
         xfw = _RowSlices(xf, x_start, W)
-        mean = _dyn_lane_slice2(yf, 0, C - d_em + x_start, W)
-        noise = _dyn_lane_slice2(yf, 1, C - d_em + x_start, W)
-        return spec.emissions(xfw, mean, noise)
+        ys = [_dyn_lane_slice2(yf, r, C - d_em + x_start, W)
+              for r in range(getattr(spec, "Y_ROWS", 2))]
+        return spec.emissions(xfw, *ys)
 
     if est_ref is not None:
         est_start(ND + 2)
@@ -836,9 +942,10 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         n1a = [align(v, o1) for v in n1]       # bwd[d+1] at x
         n1p = [align(v, o1 + 1) for v in n1]   # bwd[d+1] at x+1
         n2p = [align(v, o2 + 1) for v in n2]   # bwd[d+2] at x+1
-        # emissions(d+2) at x+1: realign the carried tile (at w1 frame);
-        # the cut rides on n2p, so the emission needs none
-        em2p = align(em_c, o1 + 1)
+        # emissions(d+2) at x+1: realign the carried tiles (at w1 frame);
+        # the cut rides on n2p, so the emission needs none.  tree_map:
+        # specs may carry emission tuples (echelon's per-n terms)
+        em2p = jax.tree_util.tree_map(lambda v: align(v, o1 + 1), em_c)
         # emissions(d+1) at x, fresh (becomes next step's carry)
         em1, eg1 = emissions_at(d + 1, w)
 
@@ -874,8 +981,11 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         df = jnp.float32(d)
         xl = lanef + w.astype(jnp.float32)
         ok = mask & (xl > 0) & (xl < df)
-        post = jnp.where(ok, jnp.exp(jnp.minimum(f[0] + bw[0] - total,
-                                                 0.69)), 0.0)
+        post_states = getattr(spec, "POST_STATES", (0,))
+
+        def post_of(si):
+            return jnp.where(ok, jnp.exp(jnp.minimum(
+                f[si] + bw[si] - total, 0.69)), 0.0)
 
         pslot = s % 2
 
@@ -885,7 +995,11 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                                   post_ref.at[g, ND - (s - 2)],
                                   sems.at[pslot]).wait()
 
-        pscratch[pslot] = post
+        if len(post_states) == 1:
+            pscratch[pslot] = post_of(post_states[0])
+        else:
+            for j, si in enumerate(post_states):
+                pscratch[pslot, j] = post_of(si)
         pltpu.make_async_copy(pscratch.at[pslot], post_ref.at[g, d],
                               sems.at[pslot]).start()
 
@@ -894,9 +1008,11 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         return tuple(bw) + tuple(n1) + (total, em1, eg1)
 
     em_init, eg_init = emissions_at(ND + 2, winf[0, 0, jnp.int32(ND + 1)])
+    lift = functools.partial(jax.tree_util.tree_map,
+                             lambda v: v + 0.0 * lanef)
     carry = ((neg,) * (2 * S)
              + (jnp.full((R, 1), NEG, jnp.float32),
-                em_init + 0.0 * lanef, eg_init + 0.0 * lanef))
+                lift(em_init), lift(eg_init)))
     carry = jax.lax.fori_loop(0, ND, step, carry)
     total = carry[2 * S]
     tot_ref[0] = total + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
@@ -1566,7 +1682,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                          lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
             vspec((R, self.spec.NXF, X)),
-            vspec((R, 2, C + X + 256)),
+            vspec((R, getattr(self.spec, "Y_ROWS", 2), C + X + 256)),
             vspec((R, NDp)),
             vspec((R, NDp)),
         ]
@@ -1607,13 +1723,16 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             kern = functools.partial(_sm3_backward_kernel, X=X, ND=ND, C=C,
                                      R=R, W=W, spec=self.spec,
                                      with_exp=with_exp)
+            NP = len(getattr(self.spec, "POST_STATES", (0,)))
+            post_shape = ((ND + 1, R, W) if NP == 1
+                          else (ND + 1, NP, R, W))
             out_specs = [
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM),
             ]
             def shapes(G):
-                out = [jax.ShapeDtypeStruct((G, ND + 1, R, W), jnp.float32),
+                out = [jax.ShapeDtypeStruct((G,) + post_shape, jnp.float32),
                        jax.ShapeDtypeStruct((G, R, 128), jnp.float32)]
                 if with_exp:
                     nacc = getattr(self.spec, "EXP_NACC", 1)
@@ -1646,7 +1765,8 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                     scratch_shapes=[
                         pltpu.SemaphoreType.DMA((6 if streamed else 4,)),
                         pltpu.VMEM((2, self.spec.S, R, W), jnp.float32),
-                        pltpu.VMEM((2, R, W), jnp.float32),
+                        pltpu.VMEM((2, R, W) if NP == 1
+                                   else (2, NP, R, W), jnp.float32),
                     ] + est_scr,
                     compiler_params=pltpu.CompilerParams(
                         has_side_effects=True),
@@ -2141,6 +2261,134 @@ class Dna5PallasAligner(StrawmanPallasAligner):
         }
 
 
+class EchelonPallasAligner(StrawmanPallasAligner):
+    """Echelon machine (getStateMachineEchelon) on the band-local wavefront
+    kernels, with multi-state posterior windows.  Works for both
+    StateMachineEchelon (per-kmer skip bins) and StateMachineEchelonB
+    (global scalar skips) — the la_* rows are built host-side via the
+    machine's own _skip_logs."""
+
+    spec = _EchelonSpec
+
+    def _scalars(self, sm, ragged_left=False):
+        start = sm.ragged_start_vec() if ragged_left else sm.start_vec()
+        arr = np.array([list(start) + list(sm.end_vec())
+                        + list(sm.ragged_end_vec())], dtype=np.float64)
+        arr = np.nan_to_num(arr, neginf=NEG)
+        return np.maximum(arr, NEG).astype(np.float32)
+
+    def _feature_inputs(self, reads, X):
+        """Per-offset kmer indices (getKmer2 position + 1 + i, i = 0..4),
+        the previous-kmer index (skip bins), the multi-kmer validity
+        bitmask, and (mean, noise, duration) events."""
+        from ..models.state_machines import (_getkmer2_positions,
+                                             _kmer_idx_at)
+
+        B = len(reads)
+        kxp = np.full((B, X), np.int16(32767), dtype=np.int16)
+        kx5 = np.full((B, 5, X), np.int16(32767), dtype=np.int16)
+        validm = np.zeros((B, X), np.uint8)
+        max_ev = max(r[1].shape[0] for r in reads)
+        ev = np.zeros((B, max_ev + 1, 3), np.float32)
+        for r, (ref, events, l_x, _l_y, _a) in enumerate(reads):
+            refp = ref + "n" * 30  # sequence_padSequence
+            pos = _getkmer2_positions(l_x)
+            n_pos = len(pos)
+            kxp[r, :n_pos] = _kmer_idx_at(refp, pos)
+            for i in range(5):
+                kx5[r, i, :n_pos] = _kmer_idx_at(refp, pos + 1 + i)
+            chars = np.frombuffer(refp.encode(), dtype=np.uint8)
+            bits = np.zeros(n_pos, np.uint8)
+            for n in range(1, 6):
+                idx = np.clip(pos + 6 * n, 0, len(chars) - 1)
+                ok = ((pos + 6 * n < len(chars)) & (chars[idx] >= 65)
+                      & (chars[idx] <= 90))
+                bits |= ok.astype(np.uint8) << (n - 1)
+            validm[r, :n_pos] = bits
+            ev[r, 1:1 + len(events), :] = events[:, :3]
+        return dict(kxp=kxp, kx5=kx5, validm=validm, ev=ev)
+
+    def _model_tables(self, sm):
+        from ..io.poremodel import (LEVEL_MEAN, LEVEL_SD, NOISE_MEAN,
+                                    NOISE_LAMBDA)
+        cols = [LEVEL_MEAN, LEVEL_SD, NOISE_MEAN, NOISE_LAMBDA]
+        return self._model_cache(sm, lambda sm: (
+            jax.device_put(np.asarray(sm.model.match_model[:, cols],
+                                      np.float32)),
+            jax.device_put(np.asarray(sm.model.gap_y_model[:, cols],
+                                      np.float32)),
+        ))
+
+    def _assemble_fn(self, C, Y):
+        key = ("asm", C, Y)
+        if key in self._cache:
+            return self._cache[key]
+        from ..constants import NUM_OF_KMERS
+
+        def assemble(kx5, la4, validm, ev, mm4, gm4):
+            rows = []
+            for i in range(5):
+                ki = kx5[:, i].astype(jnp.int32)
+                valid = ki <= NUM_OF_KMERS
+                safe = jnp.clip(ki, 0, NUM_OF_KMERS - 1)
+                rows += [jnp.where(valid, mm4[safe, c], 0.0)
+                         for c in range(4)]
+            k0 = kx5[:, 0].astype(jnp.int32)
+            v0 = k0 <= NUM_OF_KMERS
+            s0 = jnp.clip(k0, 0, NUM_OF_KMERS - 1)
+            rows += [jnp.where(v0, gm4[s0, c], 0.0) for c in range(4)]
+            rows += [la4[:, i] for i in range(4)]
+            vm = validm.astype(jnp.int32)
+            rows += [((vm >> (n - 1)) & 1).astype(jnp.float32)
+                     for n in range(1, 6)]
+            xf = jnp.stack(rows, axis=1).astype(jnp.float32)
+
+            B, E, _ = ev.shape
+            n = min(E, C + 1)
+            # Poisson duration posteriors dur_0..dur_5
+            # (emissions_signal_getDurationProb, impl/stateMachine.c:552)
+            c = 0.00332005312085
+            l_beta = 0.1397619423751586
+            l_f = (0.0, 0.0, 0.69314718056, 1.79175946923, 3.17805383035,
+                   4.78749174278)
+            dur = ev[:, :, 2]
+            lam = dur / c
+            safe_lam = jnp.where(lam > 0.0, lam, 1.0)
+            yf = jnp.zeros((B, 8, Y), jnp.float32)
+            for k in range(6):
+                b = jnp.where(lam > 0.0, k * jnp.log(safe_lam),
+                              0.0 if k == 0 else NEG)
+                d_k = (k + 1) * l_beta + b - l_f[k] - 2.0 * lam
+                yf = yf.at[:, k, C - n + 1:C + 1].set(
+                    d_k[:, :n][:, ::-1].astype(jnp.float32))
+            yf = yf.at[:, 6, C - n + 1:C + 1].set(ev[:, :n, 0][:, ::-1])
+            yf = yf.at[:, 7, C - n + 1:C + 1].set(ev[:, :n, 1][:, ::-1])
+            return xf, yf
+
+        fn = jax.jit(assemble)
+        self._cache[key] = fn
+        return fn
+
+    def _device_features(self, sm, prep):
+        from ..io.poremodel import kmer_skip_bin_table
+
+        mm4, gm4 = self._model_tables(sm)
+        # skip transition logs via the machine's own coupling (echelon A:
+        # alpha == beta from the per-kmer bins; echelonB: global scalars)
+        bins = kmer_skip_bin_table(sm.model.match_model,
+                                   prep["kxp"].astype(np.int64),
+                                   prep["kx5"][:, 0].astype(np.int64))
+        a_mx = sm.skip_bin_probs[bins]
+        la_mx, la_mh, la_xx, la_xh = sm._skip_logs(a_mx)
+        la4 = np.stack([la_mx, la_mh, la_xx, la_xh], axis=1)
+        la4 = np.maximum(np.nan_to_num(la4, neginf=NEG), NEG).astype(
+            np.float32)
+        return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256)(
+            jax.device_put(prep["kx5"]), jax.device_put(la4),
+            jax.device_put(prep["validm"]), jax.device_put(prep["ev"]),
+            mm4, gm4)
+
+
 def extract_pairs_from_pallas(out, read_idx, threshold):
     """Host-side pair extraction from the kernel's windowed posterior tensor
     (posteriors[g, d, r, l] = match posterior of cell (x=win[g,d]+l, d-x) of
@@ -2182,10 +2430,19 @@ def compact_posteriors(posts, k=4096):
     import jax
     import jax.numpy as jnp
 
-    G, ND1, R, W = posts.shape
+    if posts.ndim == 5:
+        # multi-state windows [G, ND+1, NP, R, W]: flatten (state, lane)
+        # into one W' = NP*W axis; flat_idx then encodes
+        # (d-1) * NP*W + state*W + lane
+        G, ND1, NP, R, W0 = posts.shape
+        p = posts[:, 1:].transpose(0, 3, 1, 2, 4).reshape(
+            G, R, ND1 - 1, NP * W0)
+        W = NP * W0
+    else:
+        G, ND1, R, W = posts.shape
+        p = posts[:, 1:].transpose(0, 2, 1, 3)      # [G, R, N, W]
     N = ND1 - 1
     POOL = 8
-    p = posts[:, 1:].transpose(0, 2, 1, 3)          # [G, R, N, W]
     if N % POOL:
         pad = POOL - N % POOL
         p = jnp.concatenate(
@@ -2228,6 +2485,52 @@ def extract_pairs_compact(vals, idx, read_idx, n_diag, prep, threshold):
         x = int(win[g, d]) + l
         pairs.append((int(np.floor(min(float(p), 1.0) * PAIR_ALIGNMENT_PROB_1)),
                       x - 1, d - x - 1))
+    return pairs
+
+
+def extract_echelon_pairs(out, read_idx, n_diag, threshold):
+    """Multi-state pair extraction with the echelon expansion
+    (diagonalCalculationMultiPosteriorMatchProbs,
+    impl/pairwiseAligner.c:845-856): a cell in state match_s above
+    threshold emits s pairs (x+n-1, y-1) for n < s.  Reads the compacted
+    top-k (flat idx = (d-1)*NP*W + state*W + lane), falling back to the
+    full plane when the top-k saturates."""
+    from ..constants import PAIR_ALIGNMENT_PROB_1
+    vals, idx = out["compact"]
+    prep = out["prep"]
+    R, W = prep["R"], prep["W"]
+    NP = out["posteriors"].shape[2]
+    win = prep["win"]
+    g, r = divmod(read_idx, R)
+    v = np.asarray(vals[g, r])
+    pairs = []
+
+    def emit(p, d, j, l):
+        if d > n_diag:
+            return
+        x = int(win[g, d]) + l
+        y = d - x
+        if x < 1 or y < 1:
+            return
+        score = int(np.floor(min(float(p), 1.0) * PAIR_ALIGNMENT_PROB_1))
+        for n in range(j + 1):
+            pairs.append((score, x + n - 1, y - 1))
+
+    if v.size and v[-1] >= threshold:
+        # saturated: scan this read's full plane
+        sub = np.asarray(out["posteriors"][g, : n_diag + 1, :, r])
+        d_idx, j_idx, l_idx = np.nonzero(sub >= threshold)
+        for d, j, l in zip(d_idx, j_idx, l_idx):
+            emit(sub[d, j, l], int(d), int(j), int(l))
+        return pairs
+
+    ix = np.asarray(idx[g, r])
+    keep = v >= threshold
+    for p, fi in zip(v[keep], ix[keep]):
+        fi = int(fi)
+        d = fi // (NP * W) + 1
+        rem = fi % (NP * W)
+        emit(p, d, rem // W, rem % W)
     return pairs
 
 

@@ -357,6 +357,49 @@ def test_sm4_pallas_matches_engine(template_model, fixture_reads):
         assert len(got_set & want_set) >= 0.98 * max(len(want_set), 1)
 
 
+def test_echelon_pallas_matches_engine(template_model):
+    """Echelon on the band-local wavefront kernels (multi-state posterior
+    windows + host-side expansion) vs the engine's multi-posterior
+    extraction."""
+    from cpecan_tpu.align import get_aligned_pairs_using_anchors
+    from cpecan_tpu.models.kmers import seq_to_kmer_indices
+    from cpecan_tpu.models.state_machines import StateMachineEchelon
+    from cpecan_tpu.ops.pallas_fb import (EchelonPallasAligner,
+                                          extract_echelon_pairs)
+
+    rng = np.random.default_rng(6)
+    mm = template_model.match_model
+    reads = []
+    for r in range(3):
+        n = 40 + 12 * r
+        ref = "".join(rng.choice(list("ACGT"), n))
+        l_x = n - 5
+        kidx = seq_to_kmer_indices(ref)
+        events = np.zeros((l_x, 3))
+        for i in range(l_x):
+            events[i, 0] = mm[kidx[i], 0] + rng.normal(0, 0.5)
+            events[i, 1] = max(mm[kidx[i], 2], 0.1)
+            events[i, 2] = 0.01
+        anchors = [(j, j) for j in range(6, l_x - 6, 9)]
+        reads.append((ref, events, l_x, l_x, anchors))
+
+    sm = StateMachineEchelon(template_model)
+    params = AlignmentParams(threshold=0.15)
+    pa = EchelonPallasAligner(params, interpret=True)
+    out = pa.run(sm, reads)
+    for i, (ref, events, l_x, l_y, anchors) in enumerate(reads):
+        want = get_aligned_pairs_using_anchors(sm, ref, events, l_x, l_y,
+                                               anchors, params)
+        got = extract_echelon_pairs(out, i, out["prep"]["bands"][i].n_diag,
+                                    params.threshold)
+        want_set = {(x, y) for _, x, y in want}
+        got_set = {(x, y) for _, x, y in got}
+        # f32 kernel vs f64 engine: allow a small decision fringe
+        assert len(got_set ^ want_set) <= max(2, len(want_set) // 50), \
+            (i, got_set ^ want_set)
+        assert len(got_set & want_set) >= 0.97 * max(len(want_set), 1)
+
+
 def test_hdp_pallas_matches_engine(template_model):
     """SM3-HDP machine with streamed density emissions vs the engine."""
     from cpecan_tpu.hdp.nanopore_hdp import flat_hdp_model_2
