@@ -80,33 +80,51 @@ def make_event_slice(events, query_start, query_end, event_map):
 def write_posterior_probs(fh, read_label, match_model, scale, shift, events,
                           target, forward, contig, event_offset, ref_offset,
                           aligned_pairs, strand):
-    """writePosteriorProbs (vanillaAlign.c:26-95)."""
+    """writePosteriorProbs (vanillaAlign.c:26-95).
+
+    Column math is vectorized (per-row kmer_index/reverse_complement calls
+    dominated the batch pipeline's host time); the emitted text is
+    identical to the row-at-a-time version."""
+    if not aligned_pairs:
+        return
     strand_label = "t" if strand == TEMPLATE else "c"
-    for score, x_i, y0 in aligned_pairs:
-        if (strand == TEMPLATE) == forward:
-            x_adj = x_i + ref_offset
+    ap = np.asarray(aligned_pairs, dtype=np.int64)
+    score, x_i, y0 = ap[:, 0], ap[:, 1], ap[:, 2]
+    if (strand == TEMPLATE) == forward:
+        x_adj = x_i + ref_offset
+    else:
+        ref_len = len(target)
+        ref_len_in_events = ref_len - KMER_LENGTH
+        x_adj = ref_len_in_events - (x_i + (ref_len - ref_offset))
+    y = y0 + event_offset
+    p = score / PAIR_ALIGNMENT_PROB_1
+    ev = events[y]
+    descaled_mean = (ev[:, 0] - shift) / scale
+    from ..models.kmers import seq_to_kmer_indices
+    kidx_all = seq_to_kmer_indices(target, length=len(target))
+    k_idx = kidx_all[np.clip(x_i, 0, len(kidx_all) - 1)]
+    ok = (k_idx >= 0) & (k_idx < match_model.shape[0])
+    safe = np.clip(k_idx, 0, match_model.shape[0] - 1)
+    e_level = np.where(ok, match_model[safe, 0], 0.0)
+    e_noise = np.where(ok, match_model[safe, 2], 0.0)
+    descaled_e_level = (e_level - shift) / scale
+    rc_target = None if (strand == TEMPLATE) == forward \
+        else reverse_complement(target)
+    L = len(target)
+    rows = []
+    for j in range(len(ap)):
+        xi = int(x_i[j])
+        k_i = target[xi: xi + KMER_LENGTH]
+        if rc_target is None:
+            ref_kmer = k_i
         else:
-            ref_len = len(target)
-            ref_len_in_events = ref_len - KMER_LENGTH
-            x_adj = ref_len_in_events - (x_i + (ref_len - ref_offset))
-        y = y0 + event_offset
-        p = score / PAIR_ALIGNMENT_PROB_1
-        ev_mean, ev_noise, ev_dur = events[y]
-        descaled_mean = (ev_mean - shift) / scale
-        k_i = target[x_i: x_i + KMER_LENGTH]
-        k_idx = kmer_index(k_i)
-        if 0 <= k_idx < match_model.shape[0]:
-            e_level = match_model[k_idx, 0]
-            e_noise = match_model[k_idx, 2]
-        else:
-            e_level = e_noise = 0.0
-        descaled_e_level = (e_level - shift) / scale
-        ref_kmer = k_i if (strand == TEMPLATE) == forward \
-            else reverse_complement(k_i)
-        fh.write(f"{contig}\t{x_adj}\t{ref_kmer}\t{read_label}\t"
-                 f"{strand_label}\t{y}\t{ev_mean:f}\t{ev_noise:f}\t"
-                 f"{ev_dur:f}\t{k_i}\t{e_level:f}\t{e_noise:f}\t{p:f}\t"
-                 f"{descaled_mean:f}\t{descaled_e_level:f}\n")
+            ref_kmer = rc_target[L - xi - KMER_LENGTH: L - xi]
+        rows.append(
+            f"{contig}\t{x_adj[j]}\t{ref_kmer}\t{read_label}\t"
+            f"{strand_label}\t{y[j]}\t{ev[j, 0]:f}\t{ev[j, 1]:f}\t"
+            f"{ev[j, 2]:f}\t{k_i}\t{e_level[j]:f}\t{e_noise[j]:f}\t"
+            f"{p[j]:f}\t{descaled_mean[j]:f}\t{descaled_e_level[j]:f}\n")
+    fh.write("".join(rows))
 
 
 def perform_signal_alignment(sm, events_slice, event_map, map_offset, target,

@@ -2468,24 +2468,24 @@ _compact_jit = None
 
 def extract_pairs_compact(vals, idx, read_idx, n_diag, prep, threshold):
     """Host-side pair extraction from compacted (top-k) windowed
-    posteriors."""
+    posteriors (vectorized — per-pair Python loops dominate the batch
+    pipeline's host time otherwise)."""
     from ..constants import PAIR_ALIGNMENT_PROB_1
     R, W = prep["R"], prep["W"]
     win = prep["win"]
     g, r = divmod(read_idx, R)
     v = np.asarray(vals[g, r])
-    ix = np.asarray(idx[g, r])
-    keep = v >= threshold
-    pairs = []
-    for p, fi in zip(v[keep], ix[keep]):
-        d = int(fi) // W + 1
-        l = int(fi) % W
-        if d > n_diag:
-            continue
-        x = int(win[g, d]) + l
-        pairs.append((int(np.floor(min(float(p), 1.0) * PAIR_ALIGNMENT_PROB_1)),
-                      x - 1, d - x - 1))
-    return pairs
+    ix = np.asarray(idx[g, r]).astype(np.int64)
+    d = ix // W + 1
+    keep = (v >= threshold) & (d <= n_diag)
+    v = v[keep]
+    d = d[keep]
+    l = ix[keep] % W
+    x = win[g, d] + l
+    scores = np.floor(np.minimum(v.astype(np.float64), 1.0)
+                      * PAIR_ALIGNMENT_PROB_1).astype(np.int64)
+    return list(zip(scores.tolist(), (x - 1).tolist(),
+                    (d - x - 1).tolist()))
 
 
 def extract_echelon_pairs(out, read_idx, n_diag, threshold):
