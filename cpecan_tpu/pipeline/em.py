@@ -339,7 +339,8 @@ def realign_shard(shard, sequences, sm, params, match_gamma=0.85):
 
 
 def expectation_maximisation(sequences, alignments, options: EmOptions,
-                             rng=None, checkpoint_dir=None, resume=False):
+                             rng=None, checkpoint_dir=None, resume=False,
+                             aligner=None):
     """Single EM run (expectationMaximisation(2), cPecanEm.py:107-214).
     Returns the trained PipelineHmm with running likelihoods.
 
@@ -385,14 +386,16 @@ def expectation_maximisation(sequences, alignments, options: EmOptions,
     if manager is not None:
         shard_rng_state = rng_state_to_json(rng)
     shards = _shard_alignments(alignments, options, rng)
-    aligner = None
-    if options.engine == "pallas":
+    if options.engine == "pallas" and aligner is None:
         import jax
 
         from ..ops.pallas_fb import Dna5PallasAligner
-        # shared across iterations: compiled kernels + feature caches hit
+        # shared across iterations (and across trials when the caller
+        # passes one in): compiled kernels + feature caches hit
         aligner = Dna5PallasAligner(options.realign_params,
                                     interpret=jax.default_backend() == "cpu")
+    elif options.engine != "pallas":
+        aligner = None
     for iteration in range(start_iteration, options.iterations):
         use_default = options.use_default_model_as_start and iteration == 0
         sm = StateMachine5() if use_default else hmm.to_state_machine()
@@ -453,10 +456,21 @@ def expectation_maximisation_trials(sequences, alignments, options: EmOptions,
     """Multi-trial random restarts picking max likelihood
     (expectationMaximisationTrials(2), cPecanEm.py:217-242)."""
     rng = rng or random.Random(0)
+    aligner = None
+    if options.engine == "pallas":
+        import jax
+
+        from ..ops.pallas_fb import Dna5PallasAligner
+        # one aligner across every trial: the trials share shapes, so the
+        # per-trial kernel retrace/recompile would dominate
+        aligner = Dna5PallasAligner(options.realign_params,
+                                    interpret=jax.default_backend() == "cpu")
     if options.input_model is not None or not options.random_start:
-        return expectation_maximisation(sequences, alignments, options, rng)
+        return expectation_maximisation(sequences, alignments, options, rng,
+                                        aligner=aligner)
     trials = [expectation_maximisation(sequences, alignments, options,
-                                       random.Random(rng.random()))
+                                       random.Random(rng.random()),
+                                       aligner=aligner)
               for _ in range(options.trials)]
     return max(trials, key=lambda h: h.likelihood)
 

@@ -454,6 +454,29 @@ def test_hdp_pallas_matches_engine(template_model):
         assert len(got_set ^ want_set) <= 2, (i, got_set ^ want_set)
         assert len(got_set & want_set) >= 0.95 * max(len(want_set), 1)
 
+    # HDP EM expectations (hdpHmm transition counts) on the kernel vs the
+    # engine — the streamed spec shares the strawman accumulator lanes
+    from cpecan_tpu.ops.engine import make_control
+    out_e = pa.run(sm, reads, expectations=True)
+    exp = out_e["expectations"]
+    for i, (rx, events, l_x_i, l_y, anchors) in enumerate(reads):
+        band = make_band(anchors, l_x_i, l_y, params.diagonal_expansion)
+        n = band.n_diag
+        plan = _plan_from_windows([(0, n, n)], False, n)
+        plan.refresh[:] = False
+        plan.refresh[0] = True
+        ctrl = make_control(band, plan)
+        problem = sm.build(rx, events, ((band.max_width + 7) // 8) * 8,
+                           dtype=jnp.float64)
+        all_fwd = forward_pass(problem, ctrl, problem.feats)
+        eng = backward_pass(problem, ctrl, problem.feats, all_fwd,
+                            compute_expectations=True)["expectations"]
+        np.testing.assert_allclose(exp["trans"][i],
+                                   np.asarray(eng["trans"]),
+                                   rtol=5e-3, atol=1e-3)
+        np.testing.assert_allclose(exp["likelihood"][i],
+                                   float(eng["likelihood"]), rtol=1e-4)
+
 
 def test_vanilla_pallas_expectations_match_engine(template_model,
                                                   fixture_reads):
