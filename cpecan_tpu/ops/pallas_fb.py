@@ -2540,6 +2540,9 @@ def extract_pairs_auto(out, read_idx, n_diag, threshold):
     dropped — fall back to that read's full windowed posterior plane (one
     [ND+1, W] device->host slice)."""
     from ..constants import PAIR_ALIGNMENT_PROB_1
+    if out["posteriors"].ndim == 5:
+        raise ValueError("multi-state posterior output: use "
+                         "extract_echelon_pairs")
     vals, idx = out["compact"]
     prep = out["prep"]
     R = prep["R"]
