@@ -115,8 +115,8 @@ def signal_align_batch_main(argv=None):
     pairs = _collect_read_pairs(args.file_directory, guides,
                                 args.output_location, args.ref, log)
     if args.engine == "pallas":
-        if args.stateMachineType != "threeState":
-            p.error("--engine pallas requires -smt threeState")
+        if args.stateMachineType not in ("threeState", "vanilla"):
+            p.error("--engine pallas requires -smt threeState or vanilla")
         if args.nb_files is not None:
             # same seeded shuffle-then-slice as the scan path
             # (scripts/signalAlign.py culling semantics)
@@ -127,7 +127,8 @@ def signal_align_batch_main(argv=None):
             ref_path, pairs, args.output_location,
             template_model_file=args.templateModel,
             complement_model_file=args.complementModel,
-            threshold=args.threshold, log=log)
+            threshold=args.threshold, log=log,
+            sm_type=args.stateMachineType)
     else:
         results = run_batch(ref_path, pairs, args.output_location,
                             sm_type=args.stateMachineType,

@@ -66,11 +66,13 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                    template_model_file, complement_model_file,
                    in_template_hmm=None, in_complement_hmm=None,
                    threshold=0.01, params=None, group=8, compact_k=4096,
-                   log=print, interpret=None, aligner=None):
-    """Batched signalAlign through the Pallas wavefront kernel (threeState
-    machine): both strands of every read align in a handful of kernel
-    launches with per-read model scaling on device, then the standard
-    15-column posterior tsvs are written per read.
+                   log=print, interpret=None, aligner=None,
+                   sm_type="threeState"):
+    """Batched signalAlign through the Pallas wavefront kernel
+    (sm_type 'threeState' or 'vanilla' — the reference's default machine):
+    both strands of every read align in a handful of kernel launches with
+    per-read model scaling on device, then the standard 15-column
+    posterior tsvs are written per read.
 
     Same per-read preprocessing as cli.signal_align main (guide trimming,
     event slicing, anchor rebasing — vanillaAlign.c:463-530); posteriors
@@ -93,10 +95,12 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
     from ..io.fasta import reverse_complement
     from ..io.npread import load_npread
     from ..io.poremodel import load_pore_model, scale_model
-    from ..models.hmm import ContinuousPairHmm
-    from ..models.state_machines import StateMachine3SignalStrawman
+    from ..models.hmm import ContinuousPairHmm, VanillaHmm
+    from ..models.state_machines import (StateMachine3SignalStrawman,
+                                         StateMachine3Vanilla)
     from ..ops.anchors import filter_to_remove_overlap
-    from ..ops.pallas_fb import StrawmanPallasAligner, extract_pairs_auto
+    from ..ops.pallas_fb import (StrawmanPallasAligner,
+                                 VanillaPallasAligner, extract_pairs_auto)
 
     params = params or AlignmentParams(threshold=threshold)
     os.makedirs(out_dir, exist_ok=True)
@@ -170,15 +174,27 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
 
     if not meta:
         return []
+    if sm_type not in ("threeState", "vanilla"):
+        raise ValueError("run_batch_fast supports sm_type 'threeState' or "
+                         "'vanilla'")
     if aligner is not None:
         pa = aligner  # reuse compiled kernels across batches
     else:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
-        pa = StrawmanPallasAligner(params, interpret=interpret, group=group)
+        cls = (VanillaPallasAligner if sm_type == "vanilla"
+               else StrawmanPallasAligner)
+        pa = cls(params, interpret=interpret, group=group)
 
-    def strand_sm(model_file, hmm_file):
+    def strand_sm(model_file, hmm_file, strand):
         model = load_pore_model(model_file)
+        if sm_type == "vanilla":
+            skip_bins = (VanillaHmm.load(hmm_file).kmer_skip_bins
+                         if hmm_file else None)
+            return StateMachine3Vanilla(
+                model, skip_bin_probs=skip_bins,
+                strand="template" if strand == TEMPLATE
+                else "complement"), model
         p = gap_x = None
         if hmm_file:
             hmm = ContinuousPairHmm.load(hmm_file)
@@ -192,7 +208,7 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
     for strand, model_file, hmm_file in (
             (TEMPLATE, template_model_file, in_template_hmm),
             (COMPLEMENT, complement_model_file, in_complement_hmm)):
-        sm, models[strand] = strand_sm(model_file, hmm_file)
+        sm, models[strand] = strand_sm(model_file, hmm_file, strand)
         out = pa.run(sm, jobs[strand], compact_k=compact_k,
                      scale_params=np.asarray(sps[strand]),
                      ragged_left=True, ragged_right=True)

@@ -133,3 +133,45 @@ def test_run_batch_fast_pallas(tmp_path, zymo_reference_seq, zymo_npread):
     inter = len(fast_set & scan_set)
     assert inter >= 0.98 * len(scan_set), (len(fast_set), len(scan_set),
                                            inter)
+
+
+def test_run_batch_fast_vanilla(tmp_path, zymo_reference_seq, zymo_npread):
+    """run_batch_fast with the vanilla machine (the reference's default
+    vanillaAlign model) vs the scan run_batch on the Zymo read.  The
+    vanilla machine is more sensitive to exact-total vs windowed-
+    traceback-total differences than strawman (its own goldens are 999
+    banded vs 953 unbanded), so the decision-overlap bar sits a little
+    below the strawman test's 0.98."""
+    from cpecan_tpu.pipeline.signal_align_batch import run_batch, \
+        run_batch_fast
+
+    guide = _zymo_guides(tmp_path, zymo_reference_seq, zymo_npread)
+    qname = guide.split()[1]
+    reads = tmp_path / "reads"
+    reads.mkdir()
+    shutil.copy(NPREAD, reads / f"{qname}.npRead")
+    pairs = [(str(reads / f"{qname}.npRead"), guide)]
+
+    fast_out = tmp_path / "fastv"
+    results = run_batch_fast(REF, pairs, str(fast_out),
+                             template_model_file=TMODEL,
+                             complement_model_file=CMODEL,
+                             log=lambda m: None, sm_type="vanilla")
+    assert len(results) == 1 and results[0][1]
+    fast_rows = (fast_out / f"{qname}.tsv").read_text().splitlines()
+    assert len(fast_rows) > 1000
+    assert all(len(r.split("\t")) == 15 for r in fast_rows[:50])
+
+    scan_out = tmp_path / "scanv"
+    run_batch(REF, pairs, str(scan_out), sm_type="vanilla", banded=True,
+              log=lambda m: None)
+    scan_rows = (scan_out / f"{qname}.tsv").read_text().splitlines()
+
+    def pair_set(rows):
+        return {(r.split("\t")[1], r.split("\t")[4], r.split("\t")[5])
+                for r in rows}
+    fast_set = pair_set(fast_rows)
+    scan_set = pair_set(scan_rows)
+    inter = len(fast_set & scan_set)
+    assert inter >= 0.96 * len(scan_set), (len(fast_set), len(scan_set),
+                                           inter)
