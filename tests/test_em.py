@@ -194,3 +194,40 @@ def test_continuous_pair_hmm_em(zymo_reference_seq, zymo_npread,
         assert p_lik <= hmm.likelihood * 0.95
         p_lik = hmm.likelihood
     assert np.isfinite(p_lik)
+
+
+def test_hmm_discrete_asymmetric_container_roundtrip(tmp_path):
+    """test_hmmDiscrete_5StateAsymmetric_symbols
+    (pairwiseAlignerTest.c:845-847): the container round-trips with the
+    fiveStateAsymmetric type tag and randomize/normalize invariants."""
+    from cpecan_tpu.models.hmm import (HmmDiscrete,
+                                       TYPE_FIVE_STATE_ASYMMETRIC)
+    rng = np.random.default_rng(5)
+    hmm = HmmDiscrete(5, 4, type_=TYPE_FIVE_STATE_ASYMMETRIC)
+    hmm.randomize(rng)
+    np.testing.assert_allclose(hmm.transitions.sum(axis=1), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(hmm.emissions.sum(axis=(1, 2)), 1.0,
+                               rtol=1e-12)
+    path = tmp_path / "asym.hmm"
+    with open(path, "w") as fh:
+        hmm.write(fh)
+    hmm2 = HmmDiscrete.load(str(path))
+    assert hmm2.type == TYPE_FIVE_STATE_ASYMMETRIC
+    # the text format prints %f (6 decimals) -> absolute tolerance
+    np.testing.assert_allclose(hmm2.transitions, hmm.transitions, atol=1e-6)
+    np.testing.assert_allclose(hmm2.emissions, hmm.emissions, atol=1e-6)
+
+
+def test_hdp_hmm_roundtrip_without_assignments(tmp_path):
+    """test_hdpHmmWithoutAssignments (nanoporeHdpTests.c:812-905): the
+    HdpHmm file format round-trips with an empty assignment list."""
+    from cpecan_tpu.models.hmm import HdpHmm
+    hmm = HdpHmm(threshold=0.02)
+    hmm.transitions[:] = np.arange(9).reshape(3, 3) + 0.5
+    path = tmp_path / "hdp0.hmm"
+    with open(path, "w") as fh:
+        hmm.write(fh)
+    hmm2 = HdpHmm.load(str(path))
+    assert hmm2.number_of_assignments == 0
+    assert hmm2.threshold == 0.02
+    np.testing.assert_allclose(hmm2.transitions, hmm.transitions, atol=1e-6)
