@@ -19,6 +19,8 @@ History (this machine, TPU v5e 1 chip, headline batch e2e):
   r1 + windowed streams,
      on-device assembly:           ~450-520 alignments/s
   r2 + device-built bands, hierarchical exact top-k, chunk pipelining
+  r2 + group=32 packing (band-local kernels amortize per-step fixed
+     cost over 4x reads): device 4.84e8 -> 8.04e8 cells/s
 vs_baseline is the ratio against the first recorded TPU measurement
 (10.2 aligns/s; the reference publishes no numbers — BASELINE.md).
 """
@@ -170,7 +172,8 @@ def bench_dna_em():
     hmm.equalise()
     sm = hmm.to_state_machine()
     shards = _shard_alignments(alns, options, rng)
-    pa = Dna5PallasAligner(options.realign_params, interpret=False)
+    # group=8: the E-step's X-frame exp kernel VMEM scales with R*X
+    pa = Dna5PallasAligner(options.realign_params, interpret=False, group=8)
     calculate_expectations_pallas(shards, seqs, sm, options.realign_params,
                                   pa)
     dt = _median_time(lambda: calculate_expectations_pallas(
@@ -184,6 +187,8 @@ def bench_signal_em(sm, reads):
     from cpecan_tpu.align import AlignmentParams
     from cpecan_tpu.ops.pallas_fb import StrawmanPallasAligner
 
+    # group=8: expectations run the X-frame exp kernel (VMEM ~ R*X); at
+    # R=32 the 905-column bench fits but real 6kb reads would not
     pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=8)
     sub = reads[:128]
 
@@ -236,7 +241,7 @@ def bench_echelon():
         reads.append((ref, ev, l_x, 800, anchors))
     sm = StateMachineEchelon(model)
     pa = EchelonPallasAligner(AlignmentParams(threshold=0.15),
-                              interpret=False, group=8)
+                              interpret=False, group=32)
 
     def run():
         out = pa.run(sm, reads, compact_k=2048)
@@ -275,7 +280,7 @@ def bench_hdp(reads):
     nhdp.execute_gibbs_sampling(num_samples=6, burn_in=100, thinning=20)
     nhdp.finalize_distributions()
     sm = StateMachine3Hdp(nhdp)
-    pa = HdpPallasAligner(AlignmentParams(), interpret=False, group=8)
+    pa = HdpPallasAligner(AlignmentParams(), interpret=False, group=32)
     sub = reads[:64]
 
     def run():
@@ -306,7 +311,11 @@ def main():
     batch = 256
     sm, reads = _synthetic_batch(n_reads=batch, n_ref=905, n_events=800,
                                  seed=7)
-    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=8)
+    # group=32 (32 reads per kernel launch): the band-local per-step
+    # vector work is so small that fixed per-step costs dominate; packing
+    # 4x the reads per launch measured 4.84e8 -> 8.04e8 device cells/s,
+    # with extracted pairs bit-identical to group=8 (128/128 reads).
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=32)
     bench_headline(sm, reads, pa)
     for fn in (lambda: bench_device_only(sm, reads, pa),
                bench_dna_realign,

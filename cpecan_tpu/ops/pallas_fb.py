@@ -915,6 +915,20 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
 
     start_fetch(ND, 0)
 
+    # The sweep writes diagonals ND..1 only; zero diagonal 0 so the row is
+    # deterministic (the saturated-extraction fallback reads the full
+    # plane, and uninitialized HBM showed up as run-to-run garbage there).
+    zrow = jnp.zeros((R, W), jnp.float32) + 0.0 * lanef
+    if len(getattr(spec, "POST_STATES", (0,))) == 1:
+        pscratch[0] = zrow
+    else:
+        for j in range(len(spec.POST_STATES)):
+            pscratch[0, j] = zrow
+    pltpu.make_async_copy(pscratch.at[0], post_ref.at[g, 0],
+                          sems.at[0]).start()
+    pltpu.make_async_copy(pscratch.at[0], post_ref.at[g, 0],
+                          sems.at[0]).wait()
+
     def step(s, carry):
         # carries are RAW (each in its own diagonal's window): n1 = bwd[d+1]
         # @ w_{d+1}, n2 = bwd[d+2] @ w_{d+2}; em/eg carry = emissions(d+2)
@@ -1091,6 +1105,15 @@ def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                               sems.at[2 + slot]).wait()
 
     start_fetch(ND, 0)
+
+    # zero the never-swept diagonal-0 posterior row (see the band-local
+    # body: uninitialized HBM there is nondeterministic)
+    pscratch[0] = jax.lax.broadcasted_iota(
+        jnp.int32, (R, W), 1).astype(jnp.float32) * 0.0
+    pltpu.make_async_copy(pscratch.at[0], post_ref.at[g, 0],
+                          sems.at[0]).start()
+    pltpu.make_async_copy(pscratch.at[0], post_ref.at[g, 0],
+                          sems.at[0]).wait()
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
 
@@ -1293,17 +1316,22 @@ class _PallasAlignerBase:
 
     Fast path: exact full backward (no traceback windowing), f32, posteriors
     emitted as band-local [R, W] windows per diagonal.  R (reads per kernel
-    instance) amortizes the per-diagonal fixed costs; 8 is the measured
-    sweet spot on v5e and keeps CPU interpret-mode tests cheap.
+    instance) amortizes the per-diagonal fixed costs: with band-local
+    compute the per-step vector work is a handful of [R, 128] vregs, so
+    per-step fixed cost dominates and packing more reads per launch is
+    near-free (v5e strawman measured 4.84e8 cells/s at R=8 vs 8.04e8 at
+    R=32, extracted pairs bit-identical).  Default: 32 compiled, 8 under
+    interpret (batches pad to a multiple of R; CPU interpret tests stay
+    cheap at 8).
     """
 
     spec = None  # subclass: machine spec class
 
-    def __init__(self, params=None, interpret=False, group=8):
+    def __init__(self, params=None, interpret=False, group=None):
         from ..align import AlignmentParams
         self.params = params or AlignmentParams()
         self.interpret = interpret
-        self.group = group
+        self.group = group if group is not None else (8 if interpret else 32)
         self._cache = {}
 
     # subclass hooks -----------------------------------------------------
@@ -1587,6 +1615,13 @@ class StrawmanPallasAligner(_PallasAlignerBase):
 
     def run(self, sm, reads, ragged_right=False, ragged_left=False,
             compact_k=4096, expectations=False, scale_params=None):
+        if expectations and self.group > 8 and not self.interpret:
+            # the expectation E-step runs the X-frame backward body, whose
+            # VMEM stack scales with group*X — group 32 at X=1024 already
+            # exceeds the 16M scoped-vmem limit on v5e
+            raise ValueError(
+                "expectations=True requires group<=8 (construct the "
+                f"aligner with group=8; got group={self.group})")
         prep = self.prepare(sm, reads, ragged_right=ragged_right,
                             scale_params=scale_params)
         X, ND, C, W = prep["X"], prep["ND"], prep["C"], prep["W"]
@@ -2552,13 +2587,17 @@ def extract_pairs_auto(out, read_idx, n_diag, threshold):
         return extract_pairs_compact(vals, idx, read_idx, n_diag, prep,
                                      threshold)
     # saturated: extract from the full posterior plane for this read
+    # (diagonal 0 is never swept; valid pairs need x >= 1 and y >= 1)
     win = prep["win"]
-    sub = np.asarray(out["posteriors"][g, : n_diag + 1, r])
+    sub = np.asarray(out["posteriors"][g, 1: n_diag + 1, r])
     pairs = []
     d_idx, l_idx = np.nonzero(sub >= threshold)
-    for d, l in zip(d_idx, l_idx):
-        p = min(float(sub[d, l]), 1.0)
+    for d0, l in zip(d_idx, l_idx):
+        d = int(d0) + 1
+        p = min(float(sub[d0, l]), 1.0)
         x = int(win[g, d]) + int(l)
+        if x < 1 or d - x < 1:
+            continue
         pairs.append((int(np.floor(p * PAIR_ALIGNMENT_PROB_1)),
-                      x - 1, int(d) - x - 1))
+                      x - 1, d - x - 1))
     return pairs

@@ -65,7 +65,7 @@ def prepare_fast5_reads(fast5_paths, workdir, reference_fasta=None,
 def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                    template_model_file, complement_model_file,
                    in_template_hmm=None, in_complement_hmm=None,
-                   threshold=0.01, params=None, group=8, compact_k=4096,
+                   threshold=0.01, params=None, group=None, compact_k=4096,
                    log=print, interpret=None, aligner=None,
                    sm_type="threeState"):
     """Batched signalAlign through the Pallas wavefront kernel
