@@ -555,3 +555,31 @@ def _assert_fringe_only(want, got, threshold):
     for k in set(ws) ^ set(gs):
         s = ws.get(k, gs.get(k))
         assert abs(s - cutoff) <= 0.05 * cutoff, (k, s, cutoff)
+
+def test_group_packing_parity_and_zero_diag0(template_model, fixture_reads):
+    """Group size must not change results: the same reads through R=8 and
+    R=16 kernels give identical pair sets, and the never-swept diagonal-0
+    posterior row is written (zeros) rather than left as uninitialized
+    memory (it leaked nondeterministic garbage through the saturated
+    top-k fallback before being zeroed)."""
+    sm = StateMachine3SignalStrawman(template_model)
+    params = AlignmentParams()
+    sets = {}
+    for group in (8, 16):
+        pa = StrawmanPallasAligner(params, interpret=True, group=group)
+        out = pa.run(sm, fixture_reads[:4])
+        post = np.asarray(out["posteriors"])
+        assert (post[:, 0] == 0).all()
+        sets[group] = [
+            frozenset(extract_pairs_from_pallas(out, i, params.threshold))
+            for i in range(4)]
+    assert sets[8] == sets[16]
+
+
+def test_expectations_reject_large_group():
+    """run(expectations=True) must refuse compiled group>8 up front (the
+    X-frame exp kernel's VMEM stack scales with group*X and blows the
+    scoped-vmem limit mid-compile otherwise)."""
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=32)
+    with pytest.raises(ValueError, match="group"):
+        pa.run(None, [], expectations=True)
