@@ -1326,6 +1326,9 @@ class _PallasAlignerBase:
     """
 
     spec = None  # subclass: machine spec class
+    # STREAMED specs: build the emission stream with one matmul per read
+    # (False forces the per-diagonal scan build)
+    stream_matmul = True
 
     def __init__(self, params=None, interpret=False, group=None):
         from ..align import AlignmentParams
@@ -2061,7 +2064,12 @@ class HdpPallasAligner(StrawmanPallasAligner):
         Gg = prep["Bp"] // R
         log_density = sm.log_density
         Emax = prep["ev"].shape[1]
-        key = ("est", ND, W, X, R, Gg, G_len, log_density, Emax)
+        # one-matmul build materializes M [Bp, X, U+1] f32; fall back to the
+        # per-diagonal scan when that intermediate would not fit comfortably
+        U = Emax + 2 * W
+        use_mm = (self.stream_matmul
+                  and prep["Bp"] * X * (U + 1) * 4 <= 4e9)
+        key = ("est", ND, W, X, R, Gg, G_len, log_density, Emax, use_mm)
         if key not in self._cache:
             D = ND + 3
 
@@ -2108,6 +2116,56 @@ class HdpPallasAligner(StrawmanPallasAligner):
                 lanes = jnp.arange(W)
                 kvf = valid.astype(jnp.float32)
                 Bp = kx.shape[0]
+
+                if use_mm:
+                    # One MXU matmul per read gives EVERY (x, y) density at
+                    # once: M[b, x, u] = sum_c A[b, x, c] * Wp[b, u, c]
+                    # (u = y + W).  Each diagonal's window is then an
+                    # anti-diagonal segment of M, extracted with the flat
+                    # skew trick: pad one column so that
+                    # flat[x*U + (d + W)] == M[x, d + W - x], and gather
+                    # [D, W] windows per read (indices shared group-wide).
+                    # Replaces the D-step scan of tiny slices+dots, which
+                    # was per-step-overhead-bound (~280ms -> matmul ~ms).
+                    # Precision.HIGHEST: the default TPU matmul precision
+                    # splits f32 into bf16 passes (~1e-3 relative error),
+                    # which is visible in the fixed-point pair scores; the
+                    # scan build's small dots ran on the VPU in full f32
+                    M = jax.lax.dot_general(
+                        A, Wp, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    f = jnp.pad(M, ((0, 0), (0, 0), (0, 1))).reshape(
+                        Bp, X * (U + 1))
+                    wg = win[:, :D].astype(jnp.int32)          # [Gg, D]
+                    xg = wg[:, :, None] + lanes[None, None, :].astype(
+                        jnp.int32)                              # [Gg, D, W]
+                    ddc = jnp.arange(D, dtype=jnp.int32)[None, :, None]
+                    xs = jnp.clip(xg, 0, X - 1)
+                    idx = jnp.clip(xs * U + ddc + W, 0, X * (U + 1) - 1)
+                    fg = f.reshape(Gg, R, X * (U + 1))
+                    dens = jax.vmap(lambda f2, ix: jax.vmap(
+                        lambda fr: jnp.take(fr, ix))(f2))(fg, idx)
+                    dens = dens.transpose(0, 2, 1, 3)  # [Gg, R, D, W] -> g,d,r,w
+                    y_l = (ddc - xg)[:, :, None, :]    # true y, unclipped x
+                    ok = (y_l >= 0) & (y_l < Emax)
+                    dens = jnp.where(ok, jnp.maximum(dens, 0.0), 0.0)
+                    if log_density:
+                        # invalid-kmer columns are zeroed in A, so their
+                        # density is 0 -> NEG here, same as the kv mask
+                        dens = jnp.where(
+                            dens > 0.0,
+                            jnp.log(jnp.maximum(dens, 1e-30)), NEG)
+                    else:
+                        # raw-density (bug-compatible) mode: invalid kmers
+                        # must be NEG while true zero densities stay 0.0
+                        kg = kvf.reshape(Gg, R, X)
+                        kv = jax.vmap(lambda k2, ix: jax.vmap(
+                            lambda kr: jnp.take(kr, ix))(k2))(kg, xs)
+                        dens = jnp.where(
+                            kv.transpose(0, 2, 1, 3) > 0.5, dens, NEG)
+                    return dens.astype(jnp.float32)
+
                 # per-read window start per diagonal (group windows
                 # broadcast over the group's reads) [D, Bp]
                 w_rows = jnp.repeat(win[:, :D], R, axis=0).T.astype(

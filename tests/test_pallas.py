@@ -583,3 +583,47 @@ def test_expectations_reject_large_group():
     pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=32)
     with pytest.raises(ValueError, match="group"):
         pa.run(None, [], expectations=True)
+
+
+def test_hdp_stream_builds_agree(template_model):
+    """The one-matmul HDP emission-stream build (stream_matmul=True, the
+    default) must agree with the per-diagonal scan build it replaced /
+    falls back to for very large batches: same NEG mask, densities equal
+    to f32 matmul reassociation (the pair decisions are identical; scores
+    may differ by one fixed-point unit)."""
+    from cpecan_tpu.hdp.nanopore_hdp import flat_hdp_model
+    from cpecan_tpu.models.kmers import seq_to_kmer_indices
+    from cpecan_tpu.models.state_machines import StateMachine3Hdp
+    from cpecan_tpu.ops.pallas_fb import HdpPallasAligner
+
+    rng = np.random.default_rng(2)
+    model_path = "/root/reference/models/template_median68pA.model"
+    ref = "".join(rng.choice(list("ACGT"), 60))
+    kidx = seq_to_kmer_indices(ref)
+    kmers = [ref[p:p + 6] for p in range(len(kidx)) for _ in (0, 1)]
+    signals = [template_model.match_model[kidx[p], 0] + rng.normal(0, 1.0)
+               for p in range(len(kidx)) for _ in (0, 1)]
+    nhdp = flat_hdp_model("ACGT", 6, 1.0, 1.0, 40.0, 100.0, 60, model_path)
+    nhdp.update_from_assignments(kmers, signals)
+    nhdp.execute_gibbs_sampling(num_samples=3, burn_in=50, thinning=10)
+    nhdp.finalize_distributions()
+    sm = StateMachine3Hdp(nhdp)
+
+    ev = np.zeros((50, 3))
+    for i in range(50):
+        k = kidx[min(int(i * len(kidx) / 50), len(kidx) - 1)]
+        ev[i, 0] = template_model.match_model[k, 0] + rng.normal(0, 0.5)
+        ev[i, 1] = 0.5
+        ev[i, 2] = 0.01
+    reads = [(ref, ev, len(kidx), 50, [])]
+
+    pa = HdpPallasAligner(AlignmentParams(), interpret=True)
+    prep = pa.prepare(sm, reads)
+    pa.stream_matmul = True
+    e_mm = np.asarray(pa._stream_args(sm, prep)[0])
+    pa.stream_matmul = False
+    e_scan = np.asarray(pa._stream_args(sm, prep)[0])
+    neg = e_scan < -1e29
+    assert (neg == (e_mm < -1e29)).all()
+    diff = np.abs(np.where(neg, 0.0, e_scan - e_mm))
+    assert diff.max() < 1e-4, diff.max()
