@@ -204,6 +204,43 @@ def bench_signal_em(sm, reads):
           "accumulators)")
 
 
+def bench_family(name, cls, sm, reads):
+    """Chunked batch e2e for one spec family on the strawman workload."""
+    from cpecan_tpu.align import AlignmentParams
+
+    pa = cls(AlignmentParams(), interpret=False)
+    chunk = 128
+
+    def run():
+        outs = []
+        for i in range(0, len(reads), chunk):
+            outs.append(pa.run(sm, reads[i:i + chunk], compact_k=1024))
+        return [np.asarray(o["compact"][0]) for o in outs]
+
+    run()
+    dt = _median_time(run)
+    _emit(f"{name}_alignments_per_sec", len(reads) / dt,
+          f"alignments/s (batch={len(reads)}, chunked x{chunk})")
+
+
+def bench_vanilla_and_sm4(reads):
+    from cpecan_tpu.io.poremodel import load_pore_model
+    from cpecan_tpu.models.state_machines import (StateMachine3Vanilla,
+                                                  StateMachine4)
+    from cpecan_tpu.ops.pallas_fb import (Sm4PallasAligner,
+                                          VanillaPallasAligner)
+
+    try:
+        model = load_pore_model(
+            "/root/reference/models/template_median68pA.model")
+    except OSError:
+        return
+    bench_family("vanilla", VanillaPallasAligner,
+                 StateMachine3Vanilla(model, strand="template"), reads)
+    bench_family("four_state", Sm4PallasAligner, StateMachine4(model),
+                 reads)
+
+
 def bench_echelon():
     from cpecan_tpu.align import AlignmentParams
     from cpecan_tpu.io.poremodel import load_pore_model
@@ -321,6 +358,7 @@ def main():
                bench_dna_realign,
                bench_dna_em,
                lambda: bench_signal_em(sm, reads),
+               lambda: bench_vanilla_and_sm4(reads),
                bench_echelon,
                lambda: bench_hdp(reads)):
         try:
