@@ -172,8 +172,10 @@ def bench_dna_em():
     hmm.equalise()
     sm = hmm.to_state_machine()
     shards = _shard_alignments(alns, options, rng)
-    # group=8: the E-step's X-frame exp kernel VMEM scales with R*X
-    pa = Dna5PallasAligner(options.realign_params, interpret=False, group=8)
+    # r3: the exp backward is band-local (page-ladder accumulators), so
+    # EM runs at the full posterior-path group size
+    pa = Dna5PallasAligner(options.realign_params, interpret=False,
+                          group=32)
     calculate_expectations_pallas(shards, seqs, sm, options.realign_params,
                                   pa)
     dt = _median_time(lambda: calculate_expectations_pallas(
@@ -187,9 +189,8 @@ def bench_signal_em(sm, reads):
     from cpecan_tpu.align import AlignmentParams
     from cpecan_tpu.ops.pallas_fb import StrawmanPallasAligner
 
-    # group=8: expectations run the X-frame exp kernel (VMEM ~ R*X); at
-    # R=32 the 905-column bench fits but real 6kb reads would not
-    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=8)
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False,
+                               group=32)
     sub = reads[:128]
 
     def run():

@@ -820,21 +820,35 @@ class HierarchicalDirichletProcess:
 
     def kl_divergence(self, id1, id2):
         p, q = self._distr_pair(id1, id2)
-        return self._trapz(p * np.log(p / q) + q * np.log(q / p))
+        return kl_divergence(self.sampling_grid, p, q)
 
     def hellinger_distance(self, id1, id2):
         p, q = self._distr_pair(id1, id2)
-        return math.sqrt(max(1.0 - self._trapz(np.sqrt(p * q)), 0.0))
+        return hellinger_distance(self.sampling_grid, p, q)
 
     def l2_distance(self, id1, id2):
         p, q = self._distr_pair(id1, id2)
-        return math.sqrt(self._trapz((p - q) ** 2))
+        return l2_distance(self.sampling_grid, p, q)
 
     def shannon_jensen_distance(self, id1, id2):
         p, q = self._distr_pair(id1, id2)
-        m = 0.5 * (p + q)
-        return math.sqrt(max(self._trapz(
-            0.5 * (p * np.log(p / m) + q * np.log(q / m))), 0.0))
+        return shannon_jensen_distance(self.sampling_grid, p, q)
+
+    def compare_kl_divergence(self, dp_id, other, other_dp_id):
+        return compare_hdp_distrs(self, dp_id, other, other_dp_id,
+                                  kl_divergence)
+
+    def compare_l2_distance(self, dp_id, other, other_dp_id):
+        return compare_hdp_distrs(self, dp_id, other, other_dp_id,
+                                  l2_distance)
+
+    def compare_shannon_jensen_distance(self, dp_id, other, other_dp_id):
+        return compare_hdp_distrs(self, dp_id, other, other_dp_id,
+                                  shannon_jensen_distance)
+
+    def compare_hellinger_distance(self, dp_id, other, other_dp_id):
+        return compare_hdp_distrs(self, dp_id, other, other_dp_id,
+                                  hellinger_distance)
 
     def metric_memo(self, metric_name):
         """new_*_memo (impl/hdp.c:2678-2762): memoized pairwise distances."""
@@ -965,3 +979,64 @@ class HierarchicalDirichletProcess:
                             hdp.sampling_grid, dp.posterior_predictive)
                 hdp.splines_finalized = True
         return hdp
+
+
+# ----------------------------------------------------------------------
+# distribution metrics on a shared grid + cross-HDP comparisons
+# (impl/hdp.c:2603-2676, 2766-2822)
+# ----------------------------------------------------------------------
+
+def _trapz(grid, vals):
+    return float(np.trapezoid(vals, grid))
+
+
+def kl_divergence(grid, p, q):
+    """Symmetrized KL (kl_divergence, impl/hdp.c:2603-2620)."""
+    return _trapz(grid, p * np.log(p / q) + q * np.log(q / p))
+
+
+def hellinger_distance(grid, p, q):
+    return math.sqrt(max(1.0 - _trapz(grid, np.sqrt(p * q)), 0.0))
+
+
+def l2_distance(grid, p, q):
+    return math.sqrt(_trapz(grid, (p - q) ** 2))
+
+
+def shannon_jensen_distance(grid, p, q):
+    m = 0.5 * (p + q)
+    return math.sqrt(max(_trapz(
+        grid, 0.5 * (p * np.log(p / m) + q * np.log(q / m))), 0.0))
+
+
+def compare_hdp_distrs(hdp_1, dp_id_1, hdp_2, dp_id_2, dist_func):
+    """compare_hdp_distrs (impl/hdp.c:2766-2799): compare DP dp_id_1 of one
+    HDP with DP dp_id_2 of an independently-trained second HDP.  hdp_1 is
+    the master: its sampling grid carries the comparison; hdp_2's density
+    is spline-evaluated at those grid points."""
+    if not (hdp_1.splines_finalized and hdp_2.splines_finalized):
+        raise ValueError("finalize distributions of both HDPs before "
+                         "comparing")
+    grid = hdp_1.sampling_grid
+    p = hdp_1._observed_ancestor(dp_id_1).posterior_predictive
+    q = hdp_2.dir_proc_density_vec(grid, dp_id_2)
+    return dist_func(grid, p, q)
+
+
+def compare_hdp_distrs_kl_divergence(hdp_1, dp_id_1, hdp_2, dp_id_2):
+    return compare_hdp_distrs(hdp_1, dp_id_1, hdp_2, dp_id_2, kl_divergence)
+
+
+def compare_hdp_distrs_l2_distance(hdp_1, dp_id_1, hdp_2, dp_id_2):
+    return compare_hdp_distrs(hdp_1, dp_id_1, hdp_2, dp_id_2, l2_distance)
+
+
+def compare_hdp_distrs_shannon_jensen_distance(hdp_1, dp_id_1, hdp_2,
+                                               dp_id_2):
+    return compare_hdp_distrs(hdp_1, dp_id_1, hdp_2, dp_id_2,
+                              shannon_jensen_distance)
+
+
+def compare_hdp_distrs_hellinger_distance(hdp_1, dp_id_1, hdp_2, dp_id_2):
+    return compare_hdp_distrs(hdp_1, dp_id_1, hdp_2, dp_id_2,
+                              hellinger_distance)

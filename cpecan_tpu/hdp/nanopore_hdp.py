@@ -335,3 +335,37 @@ def purine_composition_hdp_model_2(alphabet, purines, kmer_length, base_ga,
     _purine_structure(hdp, purines, "".join(sorted(alphabet)), kmer_length)
     hdp.finalize_structure()
     return _package(hdp, alphabet, kmer_length)
+
+
+# ----------------------------------------------------------------------
+# kmer-keyed cross-NHDP distribution comparisons
+# (compare_nhdp_distrs_*, impl/nanopore_hdp.c:418-443)
+# ----------------------------------------------------------------------
+
+def compare_nhdp_distrs_kl_divergence(nhdp_1, kmer_1, nhdp_2, kmer_2):
+    from .hdp import compare_hdp_distrs_kl_divergence
+    return compare_hdp_distrs_kl_divergence(
+        nhdp_1.hdp, nhdp_1.kmer_id(kmer_1),
+        nhdp_2.hdp, nhdp_2.kmer_id(kmer_2))
+
+
+def compare_nhdp_distrs_l2_distance(nhdp_1, kmer_1, nhdp_2, kmer_2):
+    from .hdp import compare_hdp_distrs_l2_distance
+    return compare_hdp_distrs_l2_distance(
+        nhdp_1.hdp, nhdp_1.kmer_id(kmer_1),
+        nhdp_2.hdp, nhdp_2.kmer_id(kmer_2))
+
+
+def compare_nhdp_distrs_shannon_jensen_distance(nhdp_1, kmer_1, nhdp_2,
+                                                kmer_2):
+    from .hdp import compare_hdp_distrs_shannon_jensen_distance
+    return compare_hdp_distrs_shannon_jensen_distance(
+        nhdp_1.hdp, nhdp_1.kmer_id(kmer_1),
+        nhdp_2.hdp, nhdp_2.kmer_id(kmer_2))
+
+
+def compare_nhdp_distrs_hellinger_distance(nhdp_1, kmer_1, nhdp_2, kmer_2):
+    from .hdp import compare_hdp_distrs_hellinger_distance
+    return compare_hdp_distrs_hellinger_distance(
+        nhdp_1.hdp, nhdp_1.kmer_id(kmer_1),
+        nhdp_2.hdp, nhdp_2.kmer_id(kmer_2))

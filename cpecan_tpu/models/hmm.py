@@ -250,6 +250,31 @@ class ContinuousPairHmm:
             gap_x = np.log(self.kmer_gap_probs)
         return p, gap_x
 
+    def to_sm4_params(self):
+        """M-step loader for the fourState machine (the reference wires the
+        same expectation hook into SM4, impl/stateMachine.c:986,1800-1810,
+        but ships no fourState load — this is the SM4 analogue of
+        continuousPairHmm_loadTransitionsAndKmerGapProbs): returns
+        (params, gap_x_log_probs) from the normalized [4,4] transitions."""
+        t = self.transitions
+        LX = 3
+        with np.errstate(divide="ignore"):
+            p = dict(
+                match_continue=np.log(t[MATCH, MATCH]),
+                gap_short_open_x=np.log(t[MATCH, SHORT_GAP_X]),
+                gap_short_open_y=np.log(t[MATCH, SHORT_GAP_Y]),
+                gap_long_open_x=np.log(t[MATCH, LX]),
+                match_from_short_gap_x=np.log(t[SHORT_GAP_X, MATCH]),
+                gap_short_extend_x=np.log(t[SHORT_GAP_X, SHORT_GAP_X]),
+                match_from_short_gap_y=np.log(t[SHORT_GAP_Y, MATCH]),
+                gap_short_extend_y=np.log(t[SHORT_GAP_Y, SHORT_GAP_Y]),
+                gap_long_switch_to_x=np.log(t[SHORT_GAP_Y, LX]),
+                match_from_long_gap_x=np.log(t[LX, MATCH]),
+                gap_long_extend_x=np.log(t[LX, LX]),
+            )
+            gap_x = np.log(self.kmer_gap_probs)
+        return p, gap_x
+
     def write(self, fh):
         # impl/continuousHmm.c:217-268 (3-line format)
         if np.isnan(self.transitions).any():

@@ -592,13 +592,22 @@ class StateMachine4:
                 "upper": tuple(e_gap_y + f["tp_u"][i] for i in range(2)),
             }
 
+        # EM expectations: the reference wires
+        # cell_signal_updateTransAndKmerSkipExpectations into fourState
+        # (impl/stateMachine.c:986,1800-1810) — [4,4] transition counts plus
+        # per-kmer gap counters on the shortGapX target.
+        xi = jnp.asarray(pad_x_array(
+            np.minimum(kx, N_SENTINEL).astype(np.int32), W, N_SENTINEL))
+
         return DpProblem(
             S=4, match_state=MATCH, transitions=self.transitions,
             feats=feats, weights_fn=weights_fn,
             start=_vec(self.start_vec(), dtype), end=_vec(self.end_vec(), dtype),
             ragged_start=_vec(self.ragged_start_vec(), dtype),
             ragged_end=_vec(self.ragged_end_vec(), dtype),
-            W=W,
+            W=W, x_elem_idx=xi,
+            expectation_spec=ExpectationSpec(kind="signal3",
+                                             n_emission_bins=NUM_OF_KMERS),
         )
 
 

@@ -70,21 +70,6 @@ def _gauss(x, mu, sd):
     return jnp.where(sd_ok, log_inv_sqrt_2pi - jnp.log(sds) - 0.5 * a * a, NEG)
 
 
-def _shift_right(v):
-    """out[:, x] = v[:, x-1]; lane 0 gets NEG."""
-    r = pltpu.roll(v, 1, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    return jnp.where(lane == 0, NEG, r)
-
-
-def _shift_left(v):
-    """out[:, x] = v[:, x+1]; last lane gets NEG.  (pltpu.roll requires a
-    non-negative shift, so roll by size-1 instead of -1.)"""
-    r = pltpu.roll(v, v.shape[1] - 1, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    return jnp.where(lane == v.shape[1] - 1, NEG, r)
-
-
 def _dyn_lane_slice(ref, row, start, X):
     """ref[:, row, start:start+X] for arbitrary (unaligned) traced start.
 
@@ -221,64 +206,44 @@ class _StrawmanSpec:
         bw_y = _log_add(bw_y, low + t[T_SX])
         return [bw_m, bw_x, bw_y]
 
-    @staticmethod
-    def bwd_prelude(xf, t):
-        return ()
-
-    @staticmethod
-    def bwd_update(t, xf, pre, em1, eg1, em2, n1, n2):
-        n1m, n1x, n1y = n1
-        e_gapx = xf[:, 8, :]
-        # middle (from d+2 at x+1, target M): uses next2[M]
-        mid = _shift_left(em2 + n2[0])
-        bw_m = mid + t[T_MM]
-        bw_x = mid + t[T_XM]
-        bw_y = mid + t[T_YM]
-        # upper (from d+1 at same x, target shortGapY): uses next1[Y]
-        up = eg1 + n1y
-        bw_m = _log_add(bw_m, up + t[T_OY])
-        bw_y = _log_add(bw_y, up + t[T_EY])
-        # lower (from d+1 at x+1, target shortGapX): uses next1[X]
-        low = _shift_left(e_gapx + n1x)
-        bw_m = _log_add(bw_m, low + t[T_OX])
-        bw_x = _log_add(bw_x, low + t[T_EX])
-        bw_y = _log_add(bw_y, low + t[T_SX])
-        return [bw_m, bw_x, bw_y]
-
     # transition lane layout for the expectation accumulator: frm*3 + to
     # (ContinuousPairHmm's [3,3] transition table order)
     EXP_LANES = {"mm": 0, "ox": 1, "oy": 2, "xm": 3, "ex": 4,
                  "ym": 6, "sx": 7, "ey": 8}
 
     @staticmethod
-    def exp_probs(t, xf, em_t, eg_t, y_t, f0, f1, bw2, total):
+    def exp_probs_w(t, xfw, em_t, eg_t, y_t, f0m, f1m, f1a, bw2, total):
         """Posterior transition probabilities into one target diagonal
         (cell_signal_updateTransAndKmerSkipExpectations,
         impl/pairwiseAligner.c:442-459): p = exp(fwd_src + transition +
-        emission + bwd_target - total).  Returns {name: [R, X]} keyed like
-        EXP_LANES, plus the gap-X sum for the per-kmer counters.
+        emission + bwd_target - total), band-locally on [R, W] tiles.
+        Inputs arrive pre-aligned to the TARGET diagonal's window frame:
+        f0m = fwd[d] at source x-1 (middle), f1m = fwd[d+1] at x-1 (lower),
+        f1a = fwd[d+1] at x (upper), bw2 = bwd[d+2] at x, em_t/eg_t =
+        emissions(d+2) at x.  Returns {name: [R, W]} keyed like EXP_LANES,
+        plus the per-column contributions for the EXP_NACC accumulators.
         ``y_t`` is the target diagonal's y-element row (only specs with
         EXP_Y_AUX receive a real value)."""
         def p(logp):
             return jnp.exp(jnp.minimum(logp - total, 10.0))
 
-        e_gapx = xf[:, 8, :]
+        e_gapx = xfw[:, 8, :]
         # middle: src (d, x-1) -> M at (d+2, x)
         mid = em_t + bw2[0]
         probs = {
-            "mm": p(_shift_right(f0[0]) + t[T_MM] + mid),
-            "xm": p(_shift_right(f0[1]) + t[T_XM] + mid),
-            "ym": p(_shift_right(f0[2]) + t[T_YM] + mid),
+            "mm": p(f0m[0] + t[T_MM] + mid),
+            "xm": p(f0m[1] + t[T_XM] + mid),
+            "ym": p(f0m[2] + t[T_YM] + mid),
         }
         # lower: src (d+1, x-1) -> X at (d+2, x)
         low = e_gapx + bw2[1]
-        probs["ox"] = p(_shift_right(f1[0]) + t[T_OX] + low)
-        probs["ex"] = p(_shift_right(f1[1]) + t[T_EX] + low)
-        probs["sx"] = p(_shift_right(f1[2]) + t[T_SX] + low)
+        probs["ox"] = p(f1m[0] + t[T_OX] + low)
+        probs["ex"] = p(f1m[1] + t[T_EX] + low)
+        probs["sx"] = p(f1m[2] + t[T_SX] + low)
         # upper: src (d+1, x) -> Y at (d+2, x)
         up = eg_t + bw2[2]
-        probs["oy"] = p(f1[0] + t[T_OY] + up)
-        probs["ey"] = p(f1[2] + t[T_EY] + up)
+        probs["oy"] = p(f1a[0] + t[T_OY] + up)
+        probs["ey"] = p(f1a[2] + t[T_EY] + up)
         gapx_sum = probs["ox"] + probs["ex"] + probs["sx"]
         return probs, gapx_sum
 
@@ -297,24 +262,45 @@ class _Sm4Spec(_StrawmanSpec):
     S = 4
     NS = 11
     NXF = 9
-    # the inherited strawman exp_probs indexes the wrong scalars under this
-    # layout; expectations stay on the scan engine for SM4
-    EXP_LANES = None
+    # transition lanes frm*4 + to over states (M, shortGapX, shortGapY,
+    # longGapX); the reference wires cell_signal_updateTransAndKmerSkipExpectations
+    # into fourState (impl/stateMachine.c:986,1800-1810) — per-kmer gap
+    # counters accumulate on the shortGapX target only (:456-459)
+    EXP_LANES = {"mm": 0, "sxm": 4, "sym": 8, "lxm": 12,
+                 "msx": 1, "sxsx": 5,
+                 "mlx": 3, "lxlx": 15, "sylx": 11,
+                 "msy": 2, "sysy": 10}
+    EXP_NACC = 1
 
     @staticmethod
-    def bwd_update(t, xf, pre, em1, eg1, em2, n1, n2):
-        e_gapx = xf[:, 8, :]
-        mid = _shift_left(em2 + n2[0])
-        low_s = _shift_left(e_gapx + n1[1])
-        low_l = _shift_left(e_gapx + n1[3])
-        up = eg1 + n1[2]
-        bw_m = _log_add(_log_add(mid + t[T4_MM], low_s + t[T4_SOX]),
-                        _log_add(low_l + t[T4_LOX], up + t[T4_SOY]))
-        bw_sx = _log_add(mid + t[T4_MSX], low_s + t[T4_SEX])
-        bw_sy = _log_add3(mid + t[T4_MSY], low_l + t[T4_LSX],
-                          up + t[T4_SEY])
-        bw_lx = _log_add(mid + t[T4_MLX], low_l + t[T4_LEX])
-        return [bw_m, bw_sx, bw_sy, bw_lx]
+    def exp_probs_w(t, xfw, em_t, eg_t, y_t, f0m, f1m, f1a, bw2, total):
+        def p(logp):
+            return jnp.exp(jnp.minimum(logp - total, 10.0))
+
+        e_gapx = xfw[:, 8, :]
+        # middle: src (d, x-1) -> M at (d+2, x)
+        mid = em_t + bw2[0]
+        probs = {
+            "mm": p(f0m[0] + t[T4_MM] + mid),
+            "sxm": p(f0m[1] + t[T4_MSX] + mid),
+            "sym": p(f0m[2] + t[T4_MSY] + mid),
+            "lxm": p(f0m[3] + t[T4_MLX] + mid),
+        }
+        # lower: src (d+1, x-1) -> shortGapX / longGapX at (d+2, x)
+        low_s = e_gapx + bw2[1]
+        low_l = e_gapx + bw2[3]
+        probs["msx"] = p(f1m[0] + t[T4_SOX] + low_s)
+        probs["sxsx"] = p(f1m[1] + t[T4_SEX] + low_s)
+        probs["mlx"] = p(f1m[0] + t[T4_LOX] + low_l)
+        probs["lxlx"] = p(f1m[3] + t[T4_LEX] + low_l)
+        probs["sylx"] = p(f1m[2] + t[T4_LSX] + low_l)
+        # upper: src (d+1, x) -> shortGapY at (d+2, x)
+        up = eg_t + bw2[2]
+        probs["msy"] = p(f1a[0] + t[T4_SOY] + up)
+        probs["sysy"] = p(f1a[2] + t[T4_SEY] + up)
+        # kmer-gap counters: to == shortGapX only (not longGapX)
+        gapx_sum = probs["msx"] + probs["sxsx"]
+        return probs, gapx_sum
 
     @staticmethod
     def fwd_update_w(t, xf, e_match, e_gapy, p1m, p1, p2m):
@@ -372,28 +358,6 @@ class _Dna5Spec:
         return e_match, noise
 
     @staticmethod
-    def bwd_prelude(xf, t):
-        return ()
-
-    @staticmethod
-    def bwd_update(t, xf, pre, em1, eg1, em2, n1, n2):
-        e_gapx = xf[:, 5, :]
-        mid = _shift_left(em2 + n2[0])
-        low_s = _shift_left(e_gapx + n1[1])
-        low_l = _shift_left(e_gapx + n1[3])
-        up_s = eg1 + n1[2]
-        up_l = eg1 + n1[4]
-        bw_m = _log_add(
-            _log_add3(mid + t[T5_MM], low_s + t[T5_SOX],
-                      low_l + t[T5_LOX]),
-            _log_add(up_s + t[T5_SOY], up_l + t[T5_LOY]))
-        bw_sx = _log_add(mid + t[T5_MSX], low_s + t[T5_SEX])
-        bw_sy = _log_add(mid + t[T5_MSY], up_s + t[T5_SEY])
-        bw_lx = _log_add(mid + t[T5_MLX], low_l + t[T5_LEX])
-        bw_ly = _log_add(mid + t[T5_MLY], up_l + t[T5_LEY])
-        return [bw_m, bw_sx, bw_sy, bw_lx, bw_ly]
-
-    @staticmethod
     def fwd_update_w(t, xf, e_match, e_gapy, p1m, p1, p2m):
         e_gapx = xf[:, 5, :]
         new_sx = _log_add(p1m[0] + t[T5_SOX],
@@ -440,34 +404,34 @@ class _Dna5Spec:
     EXP_Y_AUX = True
 
     @staticmethod
-    def exp_probs(t, xf, em_t, eg_t, y_t, f0, f1, bw2, total):
+    def exp_probs_w(t, xfw, em_t, eg_t, y_t, f0m, f1m, f1a, bw2, total):
         def p(logp):
             return jnp.exp(jnp.minimum(logp - total, 10.0))
 
-        e_gapx = xf[:, 5, :]
+        e_gapx = xfw[:, 5, :]
         # middle: src (d, x-1) -> M at (d+2, x)
         mid = em_t + bw2[0]
         probs = {
-            "mm": p(_shift_right(f0[0]) + t[T5_MM] + mid),
-            "sxm": p(_shift_right(f0[1]) + t[T5_MSX] + mid),
-            "sym": p(_shift_right(f0[2]) + t[T5_MSY] + mid),
-            "lxm": p(_shift_right(f0[3]) + t[T5_MLX] + mid),
-            "lym": p(_shift_right(f0[4]) + t[T5_MLY] + mid),
+            "mm": p(f0m[0] + t[T5_MM] + mid),
+            "sxm": p(f0m[1] + t[T5_MSX] + mid),
+            "sym": p(f0m[2] + t[T5_MSY] + mid),
+            "lxm": p(f0m[3] + t[T5_MLX] + mid),
+            "lym": p(f0m[4] + t[T5_MLY] + mid),
         }
         # lower: src (d+1, x-1) -> shortGapX / longGapX at (d+2, x)
         low_s = e_gapx + bw2[1]
         low_l = e_gapx + bw2[3]
-        probs["msx"] = p(_shift_right(f1[0]) + t[T5_SOX] + low_s)
-        probs["sxsx"] = p(_shift_right(f1[1]) + t[T5_SEX] + low_s)
-        probs["mlx"] = p(_shift_right(f1[0]) + t[T5_LOX] + low_l)
-        probs["lxlx"] = p(_shift_right(f1[3]) + t[T5_LEX] + low_l)
+        probs["msx"] = p(f1m[0] + t[T5_SOX] + low_s)
+        probs["sxsx"] = p(f1m[1] + t[T5_SEX] + low_s)
+        probs["mlx"] = p(f1m[0] + t[T5_LOX] + low_l)
+        probs["lxlx"] = p(f1m[3] + t[T5_LEX] + low_l)
         # upper: src (d+1, x) -> shortGapY / longGapY at (d+2, x)
         up_s = eg_t + bw2[2]
         up_l = eg_t + bw2[4]
-        probs["msy"] = p(f1[0] + t[T5_SOY] + up_s)
-        probs["sysy"] = p(f1[2] + t[T5_SEY] + up_s)
-        probs["mly"] = p(f1[0] + t[T5_LOY] + up_l)
-        probs["lyly"] = p(f1[4] + t[T5_LEY] + up_l)
+        probs["msy"] = p(f1a[0] + t[T5_SOY] + up_s)
+        probs["sysy"] = p(f1a[2] + t[T5_SEY] + up_s)
+        probs["mly"] = p(f1a[0] + t[T5_LOY] + up_l)
+        probs["lyly"] = p(f1a[4] + t[T5_LEY] + up_l)
 
         # posterior mass into each target state (for emission expectations)
         p_to = [
@@ -508,23 +472,6 @@ class _VanillaSpec:
         return e_match, e_gapy
 
     @staticmethod
-    def bwd_prelude(xf, t):
-        # target-x transitions shifted once into the source-x frame
-        return tuple(_shift_left(xf[:, i, :]) for i in (8, 9, 10, 11))
-
-    @staticmethod
-    def bwd_update(t, xf, pre, em1, eg1, em2, n1, n2):
-        la_mx_s, la_xx_s, la_mm_s, la_xm_s = pre
-        la_my = xf[:, 12, :]
-        mid = _shift_left(em2 + n2[0])
-        up = eg1 + n1[2]
-        low = _shift_left(n1[1])  # silent gap-X: no emission on lower
-        bw_m = _log_add3(mid + la_mm_s, low + la_mx_s, up + la_my)
-        bw_x = _log_add(mid + la_xm_s, low + la_xx_s)
-        bw_y = _log_add(mid + t[VA_YM], up + t[VA_YY])
-        return [bw_m, bw_x, bw_y]
-
-    @staticmethod
     def fwd_update_w(t, xf, e_match, e_gapy, p1m, p1, p2m):
         la_mx, la_xx, la_mm, la_xm, la_my = (xf[:, i, :]
                                              for i in range(8, 13))
@@ -557,16 +504,16 @@ class _VanillaSpec:
     EXP_NACC = 2
 
     @staticmethod
-    def exp_probs(t, xf, em_t, eg_t, y_t, f0, f1, bw2, total):
-        la_mx = xf[:, 8, :]
-        la_xx = xf[:, 9, :]
+    def exp_probs_w(t, xfw, em_t, eg_t, y_t, f0m, f1m, f1a, bw2, total):
+        la_mx = xfw[:, 8, :]
+        la_xx = xfw[:, 9, :]
 
         def p(logp):
             return jnp.exp(jnp.minimum(logp - total, 10.0))
 
         low = bw2[1]  # target shortGapX at (d+2, x); silent (no emission)
-        p_beta = p(_shift_right(f1[0]) + la_mx + low)
-        p_alpha = p(_shift_right(f1[1]) + la_xx + low)
+        p_beta = p(f1m[0] + la_mx + low)
+        p_alpha = p(f1m[1] + la_xx + low)
         return {}, (p_beta, p_alpha)
 
 
@@ -673,22 +620,6 @@ class _EchelonSpec:
         bw_m = _log_add3(mid + la_mh_p, low + la_mx_p, up + la_mh_x)
         bw_x = _log_add(mid + la_xh_p, low + la_xx_p)
         return [bw_m0] + [bw_m] * 5 + [bw_x]
-
-
-def _window_out(v, w0, X, W):
-    """[R, X] tile -> its [R, W] band-local window at lane offset w0."""
-    if W == X:
-        return v
-    return pltpu.roll(v, X - w0, axis=1)[:, :W]
-
-
-def _unpack_window(v, w0, X, W, R):
-    """[R, W] window at lane offset w0 -> [R, X] frame, NEG outside."""
-    if W == X:
-        return v
-    padded = jnp.concatenate([v, jnp.full((R, X - W), NEG, jnp.float32)],
-                             axis=1)
-    return pltpu.roll(padded, w0, axis=1)
 
 
 def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
@@ -814,7 +745,7 @@ def _masked_lse(v, mask):
 
 
 def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
-                         fwd_ref, *rest, X, ND, C, R, W, spec,
+                         fwd_ref, *rest, X, ND, C, R, W, NP, spec,
                          with_exp=False):
     streamed = getattr(spec, "STREAMED", False)
     est_ref = escr = None
@@ -823,38 +754,45 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     post_ref, tot_ref = rest[:2]
     rest = rest[2:]
     if with_exp:
-        trans_ref, gapx_ref = rest[:2]
+        trans_ref, acc_ref = rest[:2]
         rest = rest[2:]
     else:
-        trans_ref = gapx_ref = None
+        trans_ref = acc_ref = None
     sems, fscratch, pscratch = rest[:3]
+    rest = rest[3:]
+    if with_exp:
+        ascr, rest = rest[0], rest[1:]
+    else:
+        ascr = None
     if streamed:
-        escr = rest[3]
-    if not with_exp:
-        # fast band-local body (W-frame compute); the expectation path
-        # keeps the X-frame body (its per-column accumulators are indexed
-        # by absolute x)
-        return _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf,
-                                    seedf, raggedf, fwd_ref, est_ref,
-                                    post_ref, tot_ref, sems, fscratch,
-                                    pscratch, escr, X=X, ND=ND, C=C, R=R,
-                                    W=W, spec=spec)
-    return _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf,
-                              raggedf, fwd_ref, est_ref, post_ref, tot_ref,
-                              trans_ref, gapx_ref, sems, fscratch, pscratch,
-                              escr, X=X, ND=ND, C=C, R=R, W=W, spec=spec,
-                              with_exp=with_exp)
+        escr = rest[0]
+    return _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf,
+                                seedf, raggedf, fwd_ref, est_ref,
+                                post_ref, tot_ref, trans_ref, acc_ref,
+                                sems, fscratch, pscratch, ascr, escr,
+                                X=X, ND=ND, C=C, R=R, W=W, NP=NP,
+                                spec=spec, with_exp=with_exp)
 
 
 def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
-                         fwd_ref, est_ref, post_ref, tot_ref, sems,
-                         fscratch, pscratch, escr, *, X, ND, C, R, W, spec):
-    """Band-local full backward sweep d = ND..1 (see _sm3_backward_body for
-    the windowed-traceback semantics it replaces): every tile lives in its
+                         fwd_ref, est_ref, post_ref, tot_ref, trans_ref,
+                         acc_ref, sems, fscratch, pscratch, ascr, escr, *,
+                         X, ND, C, R, W, NP, spec, with_exp=False):
+    """Band-local full backward sweep d = ND..1: every tile lives in its
     diagonal's [R, W] group window; carried tiles re-align between windows
     with one dynamic lane-roll per state.  Forward windows arrive from HBM
     already band-local (no unpack); posteriors are emitted band-locally.
-    """
+
+    EM expectations (with_exp) accumulate band-locally too
+    (diagonalCalculation(_signal)_Expectations,
+    impl/pairwiseAligner.c:868-912): the per-transition posterior sums land
+    in trans_ref lanes, and the per-column accumulators (kmer/bin scatter
+    sources) live in a two-page [2, NACC, R, W] VMEM ladder anchored at
+    x-page p*W.  Group windows are monotone non-increasing along the
+    backward sweep (asserted at prep), so a finished page is DMA'd to its
+    HBM slot acc_ref[g, page] exactly once as the ladder walks down —
+    VMEM stays O(W), independent of X, which is what lets EM run at the
+    full posterior-path group size on multi-kb reads."""
     g = pl.program_id(0)
     S = spec.S
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
@@ -862,6 +800,10 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     t = [scal[0, i] for i in range(spec.NS + 3 * S)]
     E_M = spec.NS + S
     RE_M = spec.NS + 2 * S
+    streamed = est_ref is not None
+    FS = 6 if streamed else 4    # flush-DMA semaphore slot (with_exp)
+    NACC = getattr(spec, "EXP_NACC", 1)
+    needs_y = with_exp and getattr(spec, "EXP_Y_AUX", False)
 
     def band(d, w):
         base = _col_select_ref(basef, d)
@@ -887,7 +829,9 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                                   sems.at[4 + d_em % 2]).wait()
             e = escr[d_em % 2]
 
-            @pl.when(d_em >= 3)
+            # the exp epilogue consumes emissions(1); the posterior-only
+            # sweep stops at emissions(2) (a started DMA must be waited)
+            @pl.when(d_em >= (2 if with_exp else 3))
             def _():
                 est_start(d_em - 1)
 
@@ -929,6 +873,64 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     pltpu.make_async_copy(pscratch.at[0], post_ref.at[g, 0],
                           sems.at[0]).wait()
 
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+    if with_exp:
+        # zero the page ladder and every HBM accumulator page (pages the
+        # ladder never reaches must still be deterministic zeros)
+        for j in range(NACC):
+            ascr[0, j] = zrow
+            ascr[1, j] = zrow
+
+        def zero_page(pg, _):
+            cp = pltpu.make_async_copy(ascr.at[0], acc_ref.at[g, pg],
+                                       sems.at[FS])
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, NP, zero_page, 0)
+
+    def flush_to(p_needed, p):
+        """Walk the page ladder down to p_needed: each step DMAs the
+        finished upper page to its HBM slot and shifts the ladder."""
+        def body(pv):
+            cp = pltpu.make_async_copy(ascr.at[1], acc_ref.at[g, pv + 1],
+                                       sems.at[FS])
+            cp.start()
+            cp.wait()
+            for j in range(NACC):
+                ascr[1, j] = ascr[0, j]
+                ascr[0, j] = zrow
+            return pv - 1
+
+        return jax.lax.while_loop(lambda pv: pv > p_needed, body, p)
+
+    def accumulate_exp(d_t, w2t, em_t, eg_t, f0m, f1m, f1a, bw2, total,
+                       trans_c, p):
+        """Expectation contributions for one target diagonal, all inputs
+        pre-aligned to the target window frame w2t."""
+        p = flush_to(w2t // W, p)
+        y_t = (_dyn_lane_slice2(yf, 0, C - d_t + w2t, W) if needs_y
+               else None)
+        xfw2 = _RowSlices(xf, w2t, W)
+        probs, contribs = spec.exp_probs_w(t, xfw2, em_t, eg_t, y_t, f0m,
+                                           f1m, f1a, bw2, total)
+        m = band(d_t, w2t).astype(jnp.float32)
+        for name, idx in spec.EXP_LANES.items():
+            tot = jnp.sum(probs[name] * m, axis=1, keepdims=True)
+            trans_c = trans_c + jnp.where(lane128 == idx, tot, 0.0)
+        if not isinstance(contribs, (tuple, list)):
+            contribs = (contribs,)
+        off = w2t - p * W
+        zpad = jnp.zeros((R, W), jnp.float32)
+        for j, c in enumerate(contribs):
+            rolled = pltpu.roll(jnp.concatenate([c * m, zpad], axis=1),
+                                off, axis=1)
+            ascr[0, j] = ascr[0, j] + rolled[:, :W]
+            ascr[1, j] = ascr[1, j] + rolled[:, W:]
+        return trans_c, p
+
     def step(s, carry):
         # carries are RAW (each in its own diagonal's window): n1 = bwd[d+1]
         # @ w_{d+1}, n2 = bwd[d+2] @ w_{d+2}; em/eg carry = emissions(d+2)
@@ -936,6 +938,10 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         n1 = list(carry[:S])
         n2 = list(carry[S:2 * S])
         total, em_c, eg_c = carry[2 * S:2 * S + 3]
+        if with_exp:
+            f1_c = list(carry[2 * S + 3:3 * S + 3])
+            trans_c = carry[3 * S + 3]
+            p = carry[3 * S + 4]
         d = ND - s
         w = winf[0, 0, d]
         w1 = winf[0, 0, d + 1]
@@ -992,6 +998,18 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         t0 = _masked_lse(prod, mask)
         total = total * keep + t0 * sa
 
+        if with_exp:
+            # expectations into target diagonal d+2: middle source fwd[d]
+            # (fetched this step @ w), lower/upper source fwd[d+1]
+            # (carried raw @ w1), target backward n2 (raw @ w2)
+            f0m = [align(v, w2 - w - 1) for v in f]
+            f1m = [align(v, w2 - w1 - 1) for v in f1_c]
+            f1a = [align(v, w2 - w1) for v in f1_c]
+            em_t = jax.tree_util.tree_map(lambda v: align(v, w2 - w1), em_c)
+            eg_t = jax.tree_util.tree_map(lambda v: align(v, w2 - w1), eg_c)
+            trans_c, p = accumulate_exp(d + 2, w2, em_t, eg_t, f0m, f1m,
+                                        f1a, n2, total, trans_c, p)
+
         df = jnp.float32(d)
         xl = lanef + w.astype(jnp.float32)
         ok = mask & (xl > 0) & (xl < df)
@@ -1019,7 +1037,10 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
 
         # next step's n2 = this step's (cut) n1, raw @ w_{d+1}; next
         # step's em carry = emissions(d+1) at w (the next w1)
-        return tuple(bw) + tuple(n1) + (total, em1, eg1)
+        out = tuple(bw) + tuple(n1) + (total, em1, eg1)
+        if with_exp:
+            out = out + tuple(f) + (trans_c, p)
+        return out
 
     em_init, eg_init = emissions_at(ND + 2, winf[0, 0, jnp.int32(ND + 1)])
     lift = functools.partial(jax.tree_util.tree_map,
@@ -1027,277 +1048,60 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     carry = ((neg,) * (2 * S)
              + (jnp.full((R, 1), NEG, jnp.float32),
                 lift(em_init), lift(eg_init)))
+    if with_exp:
+        zero128 = jnp.zeros((R, 128), jnp.float32) \
+            + 0.0 * lane128.astype(jnp.float32)
+        carry = carry + (neg,) * S + (zero128,
+                                      winf[0, 0, jnp.int32(ND + 2)] // W)
     carry = jax.lax.fori_loop(0, ND, step, carry)
     total = carry[2 * S]
     tot_ref[0] = total + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
 
-    pltpu.make_async_copy(pscratch.at[(ND - 1) % 2], post_ref.at[g, 1],
-                          sems.at[(ND - 1) % 2]).wait()
-    pltpu.make_async_copy(pscratch.at[(ND - 2) % 2], post_ref.at[g, 2],
-                          sems.at[(ND - 2) % 2]).wait()
-
-
-def _sm3_backward_body(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
-                       fwd_ref, est_ref, post_ref, tot_ref, trans_ref,
-                       gapx_ref, sems, fscratch, pscratch, escr, *, X, ND,
-                       C, R, W, spec, with_exp):
-    """Full backward sweep d = ND..1 with per-read end seeding.
-
-    The fast path decodes posteriors from the exact full backward pass
-    (numerically tighter than the reference's memory-bounding windowed
-    traceback, which the strict scan engine reproduces).  Reads of different
-    length coexist in one group: read r seeds its end-state initialisation at
-    its own final diagonal via seedf[r, d], and diagonals beyond its range
-    have zero band width (fully masked).
-
-    Forward diagonals are prefetched one step ahead (double-buffered DMA);
-    posteriors are emitted band-locally as [R, W] windows at the group
-    window start winf[0, d].
-    """
-    g = pl.program_id(0)
-    S = spec.S
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, X), 1).astype(jnp.float32)
-    t = [scal[0, i] for i in range(spec.NS + 3 * S)]
-    E_M = spec.NS + S
-    RE_M = spec.NS + 2 * S
-    pre = spec.bwd_prelude(xf, t)
-
-    def band(d):
-        base = _col_select_ref(basef, d)
-        width = _col_select_ref(widthf, d)
-        return (lane >= base) & (lane < base + width)
-
-    # streamed emission windows are double-buffered along the descending
-    # sweep: emissions(d) waits its slot and immediately prefetches d-1,
-    # overlapping the DMA with this step's compute
-    def est_start(d):
-        pltpu.make_async_copy(est_ref.at[g, d], escr.at[d % 2],
-                              sems.at[4 + d % 2]).start()
-
-    def emissions(d):
-        if est_ref is not None:
-            pltpu.make_async_copy(est_ref.at[g, d], escr.at[d % 2],
-                                  sems.at[4 + d % 2]).wait()
-            e = _unpack_window(escr[d % 2], winf[0, 0, d], X, W, R)
-
-            @pl.when(d >= 2)
-            def _():
-                est_start(d - 1)
-
-            return e, e
-        mean = _dyn_lane_slice(yf, 0, C - d, X)
-        noise = _dyn_lane_slice(yf, 1, C - d, X)
-        return spec.emissions(xf, mean, noise)
-
-    if est_ref is not None:
-        est_start(ND + 2)
-
-    # 0*iota forces a non-replicated layout so the fori_loop carry
-    # unifies with the computed (non-replicated) updates.
-    neg = jnp.full((R, X), NEG, jnp.float32) + 0.0 * lane
-
-    def start_fetch(d, slot):
-        pltpu.make_async_copy(fwd_ref.at[g, d], fscratch.at[slot],
-                              sems.at[2 + slot]).start()
-
-    def wait_fetch(d, slot):
-        pltpu.make_async_copy(fwd_ref.at[g, d], fscratch.at[slot],
-                              sems.at[2 + slot]).wait()
-
-    start_fetch(ND, 0)
-
-    # zero the never-swept diagonal-0 posterior row (see the band-local
-    # body: uninitialized HBM there is nondeterministic)
-    pscratch[0] = jax.lax.broadcasted_iota(
-        jnp.int32, (R, W), 1).astype(jnp.float32) * 0.0
-    pltpu.make_async_copy(pscratch.at[0], post_ref.at[g, 0],
-                          sems.at[0]).start()
-    pltpu.make_async_copy(pscratch.at[0], post_ref.at[g, 0],
-                          sems.at[0]).wait()
-
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-
-    NACC = getattr(spec, "EXP_NACC", 1)
-    # specs whose exp_probs needs the target diagonal's y-element row
-    # (e.g. the DNA machine's y base index for emission expectations)
-    needs_y = with_exp and getattr(spec, "EXP_Y_AUX", False)
-
-    def y_aux_slice(d):
-        return _dyn_lane_slice(yf, 0, C - d, X)
-
-    def accumulate_exp(d_target, em_t, eg_t, y_t, f0, f1, bw2, total,
-                       trans_c, gapx_acc):
-        """Posterior transition counts for one target diagonal, into the
-        per-transition lane accumulator and the per-column accumulators
-        (the kmer/bin scatter happens post-kernel)."""
-        probs, contribs = spec.exp_probs(t, xf, em_t, eg_t, y_t, f0, f1,
-                                         bw2, total)
-        m = band(d_target).astype(jnp.float32)
-        for name, idx in spec.EXP_LANES.items():
-            tot = jnp.sum(probs[name] * m, axis=1, keepdims=True)
-            trans_c = trans_c + jnp.where(lane128 == idx, tot, 0.0)
-        if NACC == 1 and not isinstance(contribs, (tuple, list)):
-            contribs = (contribs,)
-        gapx_acc = tuple(a + c * m for a, c in zip(gapx_acc, contribs))
-        return trans_c, gapx_acc
-
-    def step(s, carry):
-        # em2/eg2 carry emissions(d+2): this step's d+2 was the previous
-        # step's d+1, so only emissions(d+1) is computed fresh per step
+    if with_exp:
+        # epilogue: targets 2 and 1 (the loop covers targets 3..ND+2).
+        # After the loop: n1 = bwd[1] @ w1, n2 = bwd[2] @ w2, f1 = fwd[1]
+        # @ w1, em/eg carry = emissions(2) @ w1; fwd[0] needs one
+        # synchronous fetch (every in-loop fetch has been waited).
         n1 = list(carry[:S])
         n2 = list(carry[S:2 * S])
-        f1 = list(carry[2 * S:3 * S])
-        total, em2, eg2 = carry[3 * S:3 * S + 3]
-        off = 3 * S + 3
-        if needs_y:
-            y2 = carry[off]
-            off += 1
-        else:
-            y2 = None
-        trans_c = carry[off]
-        gapx_acc = tuple(carry[off + 1:])
-        d = ND - s
-        # per-read seed/ragged flags as exact 0/1 columns (lane-replicated
-        # reduction outputs); applied arithmetically — selects with [R,1]
-        # predicates trip Mosaic layout unification.
-        sa = _col_select_ref(seedf, d)       # 0.0 or 1.0
-        ra = _col_select_ref(raggedf, d)
-        keep = 1.0 - sa
-
-        def cut(v):
-            return v * keep + NEG * sa
-
-        n1 = [cut(v) for v in n1]
-        n2 = [cut(v) for v in n2]
-
-        em1, eg1 = emissions(d + 1)
-
-        bw = spec.bwd_update(t, xf, pre, em1, eg1, em2, n1, n2)
-
-        mask = band(d)
-        nmask = jnp.logical_not(mask)
-        seed_in = sa * mask.astype(jnp.float32)   # [R,X] exact 0/1
-        out_bw = []
-        for i in range(S):
-            v = jnp.where(nmask, NEG, bw[i])
-            init_i = t[E_M + i] * (1.0 - ra) + t[RE_M + i] * ra
-            out_bw.append(v * (1.0 - seed_in) + init_i * seed_in)
-        bw = out_bw
-
-        # fwd[d] was prefetched last step; kick off fwd[d-1] now (not at
-        # d == 1: an unconsumed in-flight DMA may not outlive the kernel)
-        slot = s % 2
-        wait_fetch(d, slot)
-
-        @pl.when(d >= 2)
-        def _():
-            start_fetch(d - 1, (s + 1) % 2)
-
-        w0 = winf[0, 0, d]
-
-        def unpack(v):
-            # [R, W] window at lane offset w0 -> [R, X] frame, NEG outside
-            if W == X:
-                return v
-            padded = jnp.concatenate(
-                [v, jnp.full((R, X - W), NEG, jnp.float32)], axis=1)
-            return pltpu.roll(padded, w0, axis=1)
-
-        f = [unpack(fscratch[slot, i]) for i in range(S)]
-
-        # --- total probability: one exact total per read, computed at its
-        # seed diagonal (full backward => identical along every diagonal)
-        prod = f[0] + bw[0]
-        for i in range(1, S):
-            prod = _log_add(prod, f[i] + bw[i])
-        t0 = _masked_lse(prod, mask)
-        total = total * keep + t0 * sa
-
-        if with_exp:
-            # expectations for target diagonal d+2: sources fwd[d] (middle)
-            # and fwd[d+1] (lower/upper, carried unpacked), target backward
-            # bwd[d+2] (carried)
-            trans_c, gapx_acc = accumulate_exp(
-                d + 2, em2, eg2, y2, f, f1, n2, total, trans_c, gapx_acc)
-
-        # --- match posterior
-        df = jnp.float32(d)
-        ok = mask & (lane > 0) & (lane < df)
-        post = jnp.where(ok, jnp.exp(jnp.minimum(f[0] + bw[0] - total,
-                                                 0.69)), 0.0)
-
-        # band-local window: lanes [w0, w0+W) -> [0, W)
-        post_win = _window_out(post, w0, X, W)
-
-        pslot = s % 2
-
-        @pl.when(s >= 2)
-        def _():
-            pltpu.make_async_copy(pscratch.at[pslot],
-                                  post_ref.at[g, ND - (s - 2)],
-                                  sems.at[pslot]).wait()
-
-        pscratch[pslot] = post_win
-        pltpu.make_async_copy(pscratch.at[pslot], post_ref.at[g, d],
-                              sems.at[pslot]).start()
-
-        y_tail = ((y_aux_slice(d + 1) + 0.0 * lane,) if needs_y else ())
-        return (tuple(bw) + tuple(n1) + tuple(f)
-                + (total, em1, eg1) + y_tail + (trans_c,)
-                + tuple(gapx_acc))
-
-    em_init, eg_init = emissions(ND + 2)
-    zero128 = jnp.zeros((R, 128), jnp.float32) + 0.0 * lane128.astype(
-        jnp.float32)
-    zeroX = jnp.zeros((R, X), jnp.float32) + 0.0 * lane
-    y_init = ((y_aux_slice(ND + 2) + 0.0 * lane,) if needs_y else ())
-    carry = ((neg,) * (3 * S)
-             + (jnp.full((R, 1), NEG, jnp.float32),
-                em_init + 0.0 * lane, eg_init + 0.0 * lane)
-             + y_init + (zero128,) + (zeroX,) * NACC)
-    carry = jax.lax.fori_loop(0, ND, step, carry)
-    n1 = list(carry[:S])
-    n2 = list(carry[S:2 * S])
-    f1 = list(carry[2 * S:3 * S])
-    total, em2, eg2 = carry[3 * S:3 * S + 3]
-    off = 3 * S + 3
-    if needs_y:
-        y2 = carry[off]
-        off += 1
-    else:
-        y2 = None
-    trans_c = carry[off]
-    gapx_acc = tuple(carry[off + 1:])
-    tot_ref[0] = total + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
-
-    if with_exp:
-        # epilogue: targets 2 and 1 (the loop covers targets 3..ND).
-        # After the loop: n1 = bwd[1], n2 = bwd[2], f1 = fwd[1],
-        # em2/eg2 = emissions(2); fwd[0] needs one synchronous fetch.
+        em_c, eg_c = carry[2 * S + 1], carry[2 * S + 2]
+        f1_c = list(carry[2 * S + 3:3 * S + 3])
+        trans_c = carry[3 * S + 3]
+        p = carry[3 * S + 4]
+        w0 = winf[0, 0, 0]
+        w1 = winf[0, 0, 1]
         start_fetch(0, 0)
         wait_fetch(0, 0)
-        w00 = winf[0, 0, 0]
-
-        def unpack0(v):
-            if W == X:
-                return v
-            padded = jnp.concatenate(
-                [v, jnp.full((R, X - W), NEG, jnp.float32)], axis=1)
-            return pltpu.roll(padded, w00, axis=1)
-
-        f0 = [unpack0(fscratch[0, i]) for i in range(S)]
+        f0 = [fscratch[0, i] for i in range(S)]
         # target 2: middle from fwd[0], lower/upper from fwd[1], bwd[2]
-        trans_c, gapx_acc = accumulate_exp(
-            2, em2, eg2, y2, f0, f1, n2, total, trans_c, gapx_acc)
+        w2t = winf[0, 0, 2]
+        em_t = jax.tree_util.tree_map(lambda v: align(v, w2t - w1), em_c)
+        eg_t = jax.tree_util.tree_map(lambda v: align(v, w2t - w1), eg_c)
+        trans_c, p = accumulate_exp(
+            2, w2t, em_t, eg_t,
+            [align(v, w2t - w0 - 1) for v in f0],
+            [align(v, w2t - w1 - 1) for v in f1_c],
+            [align(v, w2t - w1) for v in f1_c],
+            n2, total, trans_c, p)
         # target 1: no middle (source diagonal -1), lower/upper from fwd[0]
-        em1t, eg1t = emissions(1)
-        y1t = y_aux_slice(1) if needs_y else None
-        trans_c, gapx_acc = accumulate_exp(
-            1, em1t, eg1t, y1t, [neg] * S, f0, n1, total, trans_c,
-            gapx_acc)
+        w1t = winf[0, 0, 1]
+        em1t, eg1t = emissions_at(1, w1t)
+        trans_c, p = accumulate_exp(
+            1, w1t, em1t, eg1t,
+            [neg] * S,
+            [align(v, w1t - w0 - 1) for v in f0],
+            [align(v, w1t - w0) for v in f0],
+            n1, total, trans_c, p)
         trans_ref[0] = trans_c
-        for j in range(NACC):
-            gapx_ref[0, j] = gapx_acc[j]
+        # final ladder flush: pages p+1 and p
+        cp = pltpu.make_async_copy(ascr.at[1], acc_ref.at[g, p + 1],
+                                   sems.at[FS])
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(ascr.at[0], acc_ref.at[g, p],
+                                   sems.at[FS])
+        cp.start()
+        cp.wait()
 
     pltpu.make_async_copy(pscratch.at[(ND - 1) % 2], post_ref.at[g, 1],
                           sems.at[(ND - 1) % 2]).wait()
@@ -1525,8 +1329,18 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         W = min(W, X)
         for g in range(G):
             lo = lo_all[g * R:(g + 1) * R].min(axis=0)
-            lo = np.where(np.isfinite(lo), lo, 0.0)
+            # forward-fill diagonals with no active band with the last
+            # active window start: keeps per-diagonal group windows
+            # monotone non-decreasing in d (band corners are monotone
+            # along an anchor chain), which the EM page ladder relies on
+            fin = np.isfinite(lo)
+            idx = np.where(fin, np.arange(lo.size), 0)
+            np.maximum.accumulate(idx, out=idx)
+            lo = np.where(fin[idx], lo[idx], 0.0)
             win[g] = np.clip(lo.astype(np.int64), 0, X - W)
+        if (np.diff(win, axis=1) < 0).any():
+            raise ValueError("non-monotone group window starts (anchor "
+                             "chain must be monotone)")
         if X >= 2 ** 15:
             raise ValueError(
                 f"reference length {X} exceeds the Pallas aligner's int16 "
@@ -1618,13 +1432,6 @@ class StrawmanPallasAligner(_PallasAlignerBase):
 
     def run(self, sm, reads, ragged_right=False, ragged_left=False,
             compact_k=4096, expectations=False, scale_params=None):
-        if expectations and self.group > 8 and not self.interpret:
-            # the expectation E-step runs the X-frame backward body, whose
-            # VMEM stack scales with group*X — group 32 at X=1024 already
-            # exceeds the 16M scoped-vmem limit on v5e
-            raise ValueError(
-                "expectations=True requires group<=8 (construct the "
-                f"aligner with group=8; got group={self.group})")
         prep = self.prepare(sm, reads, ragged_right=ragged_right,
                             scale_params=scale_params)
         X, ND, C, W = prep["X"], prep["ND"], prep["C"], prep["W"]
@@ -1664,13 +1471,17 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         else:
             posts, totals = bwd_fn(scal, win3, xf, yf, basef, widthf,
                                    seedf, raggedf, fwd, *extra)
-        global _compact_jit
-        if _compact_jit is None:
-            import jax as _jax
-            _compact_jit = _jax.jit(compact_posteriors, static_argnums=1)
-        vals, idx = _compact_jit(posts, min(compact_k, (ND) * W))
-        out.update(posteriors=posts, compact=(vals, idx), totals=totals,
-                   prep=prep)
+        if not expectations:
+            # E-step consumers only read out["expectations"]; the top-k
+            # posterior compaction (and any later D2H of it) is pure
+            # overhead there, so it runs only on posterior-decoding runs.
+            global _compact_jit
+            if _compact_jit is None:
+                import jax as _jax
+                _compact_jit = _jax.jit(compact_posteriors,
+                                        static_argnums=1)
+            out["compact"] = _compact_jit(posts, min(compact_k, ND * W))
+        out.update(posteriors=posts, totals=totals, prep=prep)
         return out
 
     def _reduce_expectations(self, sm, prep, trans, gapx, totals):
@@ -1681,10 +1492,11 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         from ..constants import NUM_OF_KMERS
         B, R = prep["B"], prep["R"]
         G = prep["Bp"] // R
+        S = self.spec.S
         kx = jnp.asarray(prep["kx"]).astype(jnp.int32).reshape(G, R, -1)
 
         def reduce_fn(trans, gapx, kx, totals):
-            tr = trans[:, :, :9].reshape(G * R, 3, 3)
+            tr = trans[:, :, :S * S].reshape(G * R, S, S)
             idx = jnp.clip(kx, 0, NUM_OF_KMERS + 1).reshape(G * R, -1)
             seg = jax.vmap(
                 lambda vals, ids: jnp.zeros(NUM_OF_KMERS + 2).at[ids].add(
@@ -1707,9 +1519,8 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         R = self.group
         fwd_kernel = functools.partial(_sm3_forward_kernel, X=X, ND=ND, C=C,
                                        R=R, W=W, spec=self.spec)
-        bwd_kernel = functools.partial(_sm3_backward_kernel, X=X, ND=ND, C=C,
-                                       R=R, W=W, spec=self.spec)
         NDp = _round_up(ND + 3, 128) + 128
+        NP = -(-X // W) + 1  # accumulator page count (EM ladder)
 
         vspec = lambda shape: pl.BlockSpec(
             shape, (lambda g: (g,) + (0,) * (len(shape) - 1)),
@@ -1759,37 +1570,39 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                         "(get_expectations_using_anchors)")
                 return unsupported
             kern = functools.partial(_sm3_backward_kernel, X=X, ND=ND, C=C,
-                                     R=R, W=W, spec=self.spec,
+                                     R=R, W=W, NP=NP, spec=self.spec,
                                      with_exp=with_exp)
-            NP = len(getattr(self.spec, "POST_STATES", (0,)))
-            post_shape = ((ND + 1, R, W) if NP == 1
-                          else (ND + 1, NP, R, W))
+            NPS = len(getattr(self.spec, "POST_STATES", (0,)))
+            post_shape = ((ND + 1, R, W) if NPS == 1
+                          else (ND + 1, NPS, R, W))
             out_specs = [
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM),
             ]
+            nacc = getattr(self.spec, "EXP_NACC", 1)
             def shapes(G):
                 out = [jax.ShapeDtypeStruct((G,) + post_shape, jnp.float32),
                        jax.ShapeDtypeStruct((G, R, 128), jnp.float32)]
                 if with_exp:
-                    nacc = getattr(self.spec, "EXP_NACC", 1)
+                    # per-column accumulators as page-major HBM windows
+                    # (the kernel's flush ladder writes one page at a time)
                     out += [jax.ShapeDtypeStruct((G, R, 128), jnp.float32),
-                            jax.ShapeDtypeStruct((G, nacc, R, X),
+                            jax.ShapeDtypeStruct((G, NP, nacc, R, W),
                                                  jnp.float32)]
                 return out
-            nacc = getattr(self.spec, "EXP_NACC", 1)
             extra_specs = ([pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0),
                                          memory_space=pltpu.VMEM),
-                            pl.BlockSpec((1, nacc, R, X),
-                                         lambda g: (g, 0, 0, 0),
-                                         memory_space=pltpu.VMEM)]
+                            pl.BlockSpec(memory_space=pl.ANY)]
                            if with_exp else [])
+            exp_scr = ([pltpu.VMEM((2, nacc, R, W), jnp.float32)]
+                       if with_exp else [])
+            n_sem = (4 if not streamed else 6) + (1 if with_exp else 0)
 
             def bwd(scal, win, xf, yf, basef, widthf, seedf, raggedf,
                     fwd_hbm, *est):
                 G = xf.shape[0] // R
-                return pl.pallas_call(
+                res = pl.pallas_call(
                     kern,
                     grid=(G,),
                     in_specs=[common_in[0], win_spec]
@@ -1801,16 +1614,23 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                     out_specs=out_specs + extra_specs,
                     out_shape=shapes(G),
                     scratch_shapes=[
-                        pltpu.SemaphoreType.DMA((6 if streamed else 4,)),
+                        pltpu.SemaphoreType.DMA((n_sem,)),
                         pltpu.VMEM((2, self.spec.S, R, W), jnp.float32),
-                        pltpu.VMEM((2, R, W) if NP == 1
-                                   else (2, NP, R, W), jnp.float32),
-                    ] + est_scr,
+                        pltpu.VMEM((2, R, W) if NPS == 1
+                                   else (2, NPS, R, W), jnp.float32),
+                    ] + exp_scr + est_scr,
                     compiler_params=pltpu.CompilerParams(
                         has_side_effects=True),
                     interpret=self.interpret,
                 )(scal, win, xf, yf, basef, widthf, seedf, raggedf,
                   fwd_hbm, *est)
+                if not with_exp:
+                    return res
+                posts, totals, trans, acc = res
+                # [G, NP, nacc, R, W] pages -> [G, nacc, R, X] x-frame
+                gapx = acc.transpose(0, 2, 3, 1, 4).reshape(
+                    G, nacc, R, NP * W)[..., :X]
+                return posts, totals, trans, gapx
 
             return jax.jit(bwd)
 

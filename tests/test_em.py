@@ -231,3 +231,51 @@ def test_hdp_hmm_roundtrip_without_assignments(tmp_path):
     assert hmm2.number_of_assignments == 0
     assert hmm2.threshold == 0.02
     np.testing.assert_allclose(hmm2.transitions, hmm.transitions, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sm4_em_monotone_likelihood(zymo_reference_seq, zymo_npread,
+                                    template_model):
+    """fourState Baum-Welch from a randomized start on the Zymo fixture:
+    monotone likelihood (the reference wires
+    cell_signal_updateTransAndKmerSkipExpectations into SM4,
+    impl/stateMachine.c:986,1800-1810, but ships no fourState EM driver;
+    the M-step here is the SM4 analogue of
+    continuousPairHmm_loadTransitionsAndKmerGapProbs)."""
+    from cpecan_tpu.io.npread import remap_anchor_pairs
+    from cpecan_tpu.models.state_machines import StateMachine4
+    from cpecan_tpu.ops.anchors import filter_to_remove_overlap
+    from cpecan_tpu.ops.blast import (
+        find_lastz, get_blast_pairs_for_pairwise_alignment_parameters)
+
+    params = AlignmentParams()
+    l_x = len(zymo_reference_seq) - (KMER_LENGTH - 1)
+    l_y = zymo_npread.n_template_events
+    tp = zymo_npread.template_params
+    model = scale_model(template_model, tp.scale, tp.shift, tp.var,
+                        tp.scale_sd, tp.var_sd)
+
+    if find_lastz() is not None:
+        anchors = get_blast_pairs_for_pairwise_alignment_parameters(
+            zymo_reference_seq, zymo_npread.twod_read, params)
+        filtered = filter_to_remove_overlap(
+            remap_anchor_pairs(anchors, zymo_npread.template_event_map))
+    else:
+        filtered = []
+
+    rng = np.random.default_rng(21)
+    hmm = ContinuousPairHmm(state_number=4)
+    hmm.randomize(rng)
+    p_lik = -math.inf
+    for it in range(6):
+        sm_params, gap_x = hmm.to_sm4_params()
+        sm = StateMachine4(model, params=sm_params, gap_x_log_probs=gap_x)
+        acc = get_expectations_using_anchors(
+            sm, zymo_reference_seq, zymo_npread.template_events, l_x, l_y,
+            filtered, params)
+        hmm = ContinuousPairHmm(state_number=4)
+        hmm.add_expectations(acc)
+        hmm.normalize()
+        assert p_lik <= hmm.likelihood * 0.95
+        p_lik = hmm.likelihood
+    assert np.isfinite(p_lik)

@@ -209,6 +209,7 @@ def test_echelon_zymo_golden(zymo_reference_seq, zymo_npread, template_model):
         assert len(pairs) == 857
 
 
+@pytest.mark.slow
 def test_echelon_b_variant(template_model):
     """StateMachineEchelonB (stateMachineEchelonB_cellCalculate,
     impl/stateMachine.c:1461-1510): with alpha == beta == the bin value it
@@ -253,6 +254,7 @@ def test_echelon_b_variant(template_model):
     assert sorted(pairs_b2) != sorted(pairs_a)
 
 
+@pytest.mark.slow
 def test_batched_echelon_matches_single(template_model):
     """Echelon through the vmapped BatchedAligner (multi-state posteriors)
     vs the per-read engine."""

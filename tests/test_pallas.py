@@ -288,6 +288,7 @@ def test_dna5_pallas_matches_engine(template_model):
     assert golden == {(0, 0), (1, 1), (2, 4), (3, 5)}
 
 
+@pytest.mark.slow
 def test_dna5_pallas_expectations_match_engine():
     """DNA 5-state EM accumulators (transitions + emission expectations)
     on the kernel vs the engine single-window expectation pass — the
@@ -339,6 +340,7 @@ def test_dna5_pallas_expectations_match_engine():
                                    float(eng["likelihood"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sm4_pallas_matches_engine(template_model, fixture_reads):
     from cpecan_tpu.models.state_machines import StateMachine4
     from cpecan_tpu.ops.pallas_fb import Sm4PallasAligner
@@ -357,6 +359,7 @@ def test_sm4_pallas_matches_engine(template_model, fixture_reads):
         assert len(got_set & want_set) >= 0.98 * max(len(want_set), 1)
 
 
+@pytest.mark.slow
 def test_echelon_pallas_matches_engine(template_model):
     """Echelon on the band-local wavefront kernels (multi-state posterior
     windows + host-side expansion) vs the engine's multi-posterior
@@ -400,6 +403,7 @@ def test_echelon_pallas_matches_engine(template_model):
         assert len(got_set & want_set) >= 0.97 * max(len(want_set), 1)
 
 
+@pytest.mark.slow
 def test_hdp_pallas_matches_engine(template_model):
     """SM3-HDP machine with streamed density emissions vs the engine."""
     from cpecan_tpu.hdp.nanopore_hdp import flat_hdp_model_2
@@ -478,6 +482,7 @@ def test_hdp_pallas_matches_engine(template_model):
                                    float(eng["likelihood"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_vanilla_pallas_expectations_match_engine(template_model,
                                                   fixture_reads):
     """Vanilla EM accumulators (beta/alpha skip-bin masses) on the kernel
@@ -505,6 +510,7 @@ def test_vanilla_pallas_expectations_match_engine(template_model,
                                    atol=5e-3)
 
 
+@pytest.mark.slow
 def test_wide_window_group(template_model):
     """Reads with divergent band positions in one group force the window
     wider than one 128-lane page (W=256+), covering the window-widening
@@ -576,13 +582,44 @@ def test_group_packing_parity_and_zero_diag0(template_model, fixture_reads):
     assert sets[8] == sets[16]
 
 
-def test_expectations_reject_large_group():
-    """run(expectations=True) must refuse compiled group>8 up front (the
-    X-frame exp kernel's VMEM stack scales with group*X and blows the
-    scoped-vmem limit mid-compile otherwise)."""
-    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=32)
-    with pytest.raises(ValueError, match="group"):
-        pa.run(None, [], expectations=True)
+@pytest.mark.slow
+def test_sm4_pallas_expectations_match_engine(template_model,
+                                              fixture_reads):
+    """fourState EM accumulators (cell_signal_updateTransAndKmerSkipExpectations
+    wired into SM4, impl/stateMachine.c:986,1800-1810): [4,4] transition
+    counts + per-kmer gap counts on the shortGapX target, kernel vs the
+    engine single-window expectation pass."""
+    from cpecan_tpu.models.state_machines import StateMachine4
+    from cpecan_tpu.ops.engine import make_control
+    from cpecan_tpu.ops.pallas_fb import Sm4PallasAligner
+
+    sm = StateMachine4(template_model)
+    params = AlignmentParams()
+    pa = Sm4PallasAligner(params, interpret=True)
+    out = pa.run(sm, fixture_reads[:4], expectations=True)
+    exp = out["expectations"]
+    assert exp["trans"].shape == (4, 4, 4)
+
+    for i, (ref, events, l_x, l_y, anchors) in enumerate(fixture_reads[:4]):
+        band = make_band(anchors, l_x, l_y, params.diagonal_expansion)
+        n = band.n_diag
+        plan = _plan_from_windows([(0, n, n)], False, n)
+        plan.refresh[:] = False
+        plan.refresh[0] = True
+        ctrl = make_control(band, plan)
+        problem = sm.build(ref, events, ((band.max_width + 7) // 8) * 8,
+                           dtype=jnp.float64)
+        all_fwd = forward_pass(problem, ctrl, problem.feats)
+        eng = backward_pass(problem, ctrl, problem.feats, all_fwd,
+                            compute_expectations=True)["expectations"]
+        np.testing.assert_allclose(exp["trans"][i], np.asarray(eng["trans"]),
+                                   rtol=2e-3, atol=1e-3)
+        want_gap = np.asarray(eng["kmer_gap"])
+        got_gap = exp["kmer_gap"][i]
+        np.testing.assert_allclose(got_gap.sum(), want_gap.sum(), rtol=2e-3)
+        nz = want_gap > 1e-3
+        np.testing.assert_allclose(got_gap[nz], want_gap[nz], rtol=5e-3,
+                                   atol=1e-3)
 
 
 def test_hdp_stream_builds_agree(template_model):
