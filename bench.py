@@ -278,11 +278,15 @@ def bench_echelon():
                 px, py = x, y
         reads.append((ref, ev, l_x, 800, anchors))
     sm = StateMachineEchelon(model)
-    pa = EchelonPallasAligner(AlignmentParams(threshold=0.15),
+    # r3: default operating point (threshold .01, the reference default —
+    # impl/pairwiseAligner.c:1477-1490) so the metric is comparable with
+    # every other family; compact_k=4096 keeps the multi-state top-k from
+    # saturating at this threshold
+    pa = EchelonPallasAligner(AlignmentParams(threshold=0.01),
                               interpret=False, group=32)
 
     def run():
-        out = pa.run(sm, reads, compact_k=2048)
+        out = pa.run(sm, reads, compact_k=4096)
         return np.asarray(out["compact"][0])
 
     run()
@@ -290,6 +294,66 @@ def bench_echelon():
     _emit("echelon_alignments_per_sec", len(reads) / dt,
           "alignments/s (7-state multi-kmer echelon, multi-state "
           "posterior windows)")
+
+
+def bench_signal_pipeline():
+    """Full signalAlign pipeline e2e (the reference's actual end-user
+    driver, scripts/signalAlign.py:101-141): npRead parse -> guide anchors
+    -> both strands through the kernels -> 15-column posterior tsvs."""
+    import os
+    import shutil
+    import tempfile
+
+    from cpecan_tpu.align import AlignmentParams
+    from cpecan_tpu.io.guide import exonerated_lastz
+    from cpecan_tpu.io.npread import load_npread
+    from cpecan_tpu.ops.pallas_fb import StrawmanPallasAligner
+    from cpecan_tpu.pipeline.signal_align_batch import run_batch_fast
+
+    REF = "/root/reference/tests/test_npReads/ZymoRef.txt"
+    NPREAD = "/root/reference/tests/test_npReads/ZymoC_ch_1_file1.npRead"
+    TMODEL = "/root/reference/models/template_median68pA.model"
+    CMODEL = "/root/reference/models/complement_median68pA_pop2.model"
+    if not os.path.exists(NPREAD):
+        return
+    n_reads = 64
+    tmpdir = tempfile.mkdtemp()
+    try:
+        np_read = load_npread(NPREAD)
+        with open(REF) as fh:
+            ref_seq = fh.readline().strip()
+        ref_fa = os.path.join(tmpdir, "ref.fa")
+        with open(ref_fa, "w") as fh:
+            fh.write(">ZymoRef\n" + ref_seq + "\n")
+        read_fa = os.path.join(tmpdir, "read.fa")
+        with open(read_fa, "w") as fh:
+            fh.write(">r\n" + np_read.twod_read + "\n")
+        guide0, _ = exonerated_lastz(ref_fa, read_fa)
+        gf = guide0.split()
+        pairs = []
+        for i in range(n_reads):
+            label = f"read{i:03d}"
+            dst = os.path.join(tmpdir, label + ".npRead")
+            shutil.copy(NPREAD, dst)
+            pairs.append((dst, " ".join([gf[0], label] + gf[2:])))
+        out_dir = os.path.join(tmpdir, "out")
+        pa = StrawmanPallasAligner(AlignmentParams(), interpret=False,
+                                   group=32)
+
+        def run():
+            return run_batch_fast(REF, pairs, out_dir,
+                                  template_model_file=TMODEL,
+                                  complement_model_file=CMODEL,
+                                  log=lambda m: None, aligner=pa)
+
+        res = run()
+        assert len(res) == n_reads
+        dt = _median_time(run)
+        _emit("signal_pipeline_reads_per_sec", n_reads / dt,
+              "reads/s (fast5-less signalAlign pipeline: npRead parse + "
+              "guide anchors + both strands + posterior tsvs)")
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def bench_hdp(reads):
@@ -361,6 +425,7 @@ def main():
                lambda: bench_signal_em(sm, reads),
                lambda: bench_vanilla_and_sm4(reads),
                bench_echelon,
+               bench_signal_pipeline,
                lambda: bench_hdp(reads)):
         try:
             fn()

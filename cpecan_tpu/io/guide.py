@@ -106,6 +106,40 @@ def exonerated_bwa(bwa_index, query_fasta, target_regions=None):
     return sam_to_guide_cigar(sam, target_regions)
 
 
+def exonerated_lastz(reference_fasta, query_fasta, target_regions=None):
+    """Guide alignment via the vendored lastz: same (guide cigar, strand)
+    contract as exonerated_bwa.  Fallback for hosts without a bwa binary —
+    lastz already ships with the framework for anchoring (ops/blast.py),
+    and its exonerate cigar output needs no SAM round-trip.  Returns
+    (False, False) when nothing aligns or the region filter rejects it."""
+    from ..ops.blast import LASTZ_ARGS, find_lastz
+
+    lastz = find_lastz()
+    if lastz is None:
+        raise RuntimeError("vendored lastz binary not found")
+    res = subprocess.run([lastz] + LASTZ_ARGS
+                         + [reference_fasta, query_fasta],
+                         capture_output=True, text=True, check=True)
+    lines = [l for l in res.stdout.splitlines() if l.startswith("cigar:")]
+    if not lines:
+        return False, False
+    # lastz emits target (reference) first; keep the best-scoring line
+    # (they arrive score-sorted) and normalize to the bwa wrapper's
+    # guide orientation contract
+    f = lines[0].split()
+    qname, q_start, q_end, _q_strand = f[1], int(f[2]), int(f[3]), f[4]
+    rname, r_start, r_end, r_strand = f[5], int(f[6]), int(f[7]), f[8]
+    ops = " ".join(f[10:])
+    strand = r_strand
+    if target_regions is not None:
+        lo, hi = sorted((r_start, r_end))
+        if not target_regions.check_aligned_region(lo, hi):
+            return False, False
+    guide = (f"cigar: {qname} {q_start} {q_end} + {rname} {r_start} "
+             f"{r_end} {strand} 1 {ops}")
+    return guide, strand
+
+
 def get_bwa_index(reference, dest_dir):
     """`bwa index` into dest_dir, returning the index prefix
     (scripts/nanoporeLib.py:47-51, Bwa.build_index :282-289)."""

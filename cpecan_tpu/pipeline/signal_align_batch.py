@@ -28,20 +28,27 @@ def prepare_fast5_reads(fast5_paths, workdir, reference_fasta=None,
     Unconvertible/unmapped reads are skipped, not fatal.
     """
     from ..io.fast5 import fast5_to_npread
-    from ..io.guide import bwa_available, exonerated_bwa, get_bwa_index
+    from ..io.guide import (bwa_available, exonerated_bwa,
+                            exonerated_lastz, get_bwa_index)
 
     os.makedirs(workdir, exist_ok=True)
     if guide_fn is None:
         if reference_fasta is None:
             raise ValueError("need reference_fasta (or a guide_fn)")
-        if not bwa_available():
-            raise RuntimeError("bwa binary not found: pass guide_fn or "
-                               "provide guide cigars directly")
-        index = get_bwa_index(reference_fasta, workdir)
+        if bwa_available():
+            index = get_bwa_index(reference_fasta, workdir)
 
-        def guide_fn(twod_fasta, _name):
-            cigar, _strand = exonerated_bwa(index, twod_fasta)
-            return cigar
+            def guide_fn(twod_fasta, _name):
+                cigar, _strand = exonerated_bwa(index, twod_fasta)
+                return cigar
+        else:
+            # no bwa on this host: guide with the vendored lastz instead
+            # (same exonerate-cigar contract; the reference hard-requires
+            # bwa here, scripts/nanoporeLib.py:202-235)
+            def guide_fn(twod_fasta, _name):
+                cigar, _strand = exonerated_lastz(reference_fasta,
+                                                  twod_fasta)
+                return cigar
 
     pairs = []
     for f5 in fast5_paths:

@@ -84,3 +84,105 @@ def test_seqpar_banded_matches_engine(problem):
     got_set = {(x, y) for _, x, y in pairs}
     assert got_set == want_set, got_set ^ want_set
     assert np.isfinite(total)
+
+
+@pytest.fixture(scope="module")
+def dna_problem():
+    rng = np.random.default_rng(7)
+    n = 120
+    seq_x = "".join(rng.choice(list("ACGT"), n))
+    seq_y = "".join(c if rng.random() > 0.15 else
+                    str(rng.choice(list("ACGT"))) for c in seq_x)
+    from cpecan_tpu.models.state_machines import StateMachine5
+    return StateMachine5(), seq_x, seq_y, len(seq_x), len(seq_y)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_seqpar_dna5_matches_unbanded_engine(dna_problem, n_shards):
+    """DNA 5-state (the chromosome-scale realignment family) x-sharded vs
+    the unbanded engine."""
+    sm, seq_x, seq_y, l_x, l_y = dna_problem
+    params = AlignmentParams(threshold=0.2)
+    want = get_aligned_pairs_without_banding(sm, seq_x, seq_y, l_x, l_y,
+                                             params)
+    pairs, total = seqpar_posteriors(sm, seq_x, seq_y, l_x, l_y,
+                                     mesh=_mesh(n_shards),
+                                     threshold=params.threshold,
+                                     dtype=jnp.float64)
+    want_set = {(x, y) for _, x, y in want}
+    got_set = {(x, y) for _, x, y in pairs}
+    assert got_set == want_set, got_set ^ want_set
+    assert np.isfinite(total)
+
+
+def test_seqpar_dna5_golden():
+    """Reference golden pair set (pairwiseAlignerTest.c:358) through the
+    sequence-parallel path."""
+    from cpecan_tpu.models.state_machines import StateMachine5
+    sm = StateMachine5()
+    pairs, _total = seqpar_posteriors(sm, "AGCG", "AGTTCG", 4, 6,
+                                      mesh=_mesh(4), threshold=0.2,
+                                      dtype=jnp.float64)
+    assert {(x, y) for _, x, y in pairs} == {(0, 0), (1, 1), (2, 4), (3, 5)}
+
+
+def _engine_expectations(sm, x_in, y_in, l_x, l_y, anchors, params):
+    from cpecan_tpu.ops.band import _plan_from_windows, make_band
+    from cpecan_tpu.ops.engine import (backward_pass, forward_pass,
+                                       make_control)
+    band = make_band(anchors, l_x, l_y, params.diagonal_expansion)
+    n = band.n_diag
+    plan = _plan_from_windows([(0, n, n)], False, n)
+    plan.refresh[:] = False
+    plan.refresh[0] = True
+    ctrl = make_control(band, plan)
+    problem = sm.build(x_in, y_in, ((band.max_width + 7) // 8) * 8,
+                       dtype=jnp.float64)
+    all_fwd = forward_pass(problem, ctrl, problem.feats)
+    return backward_pass(problem, ctrl, problem.feats, all_fwd,
+                         compute_expectations=True)["expectations"]
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_seqpar_strawman_expectations_match_engine(problem, n_shards):
+    """x-sharded EM expectations (psum-merged accumulators) vs the engine
+    single-window expectation pass — EM on one long alignment can now
+    split across chips."""
+    from cpecan_tpu.parallel.seqpar import seqpar_expectations
+    sm, ref, events, l_x, l_y = problem
+    params = AlignmentParams()
+    anchors = [(j, j) for j in range(10, min(l_x, l_y) - 10, 12)]
+    eng = _engine_expectations(sm, ref, events, l_x, l_y, anchors, params)
+    got = seqpar_expectations(sm, ref, events, l_x, l_y,
+                              mesh=_mesh(n_shards), anchors=anchors,
+                              expansion=params.diagonal_expansion,
+                              dtype=jnp.float64)
+    # the engine comparator normalizes by its windowed-traceback total
+    # (the reference per-window quirk, impl/pairwiseAligner.c:1005-1015);
+    # seqpar uses the exact total, so accumulators agree to ~1e-6 rel
+    np.testing.assert_allclose(got["trans"], np.asarray(eng["trans"]),
+                               rtol=5e-5, atol=1e-7)
+    want_gap = np.asarray(eng["kmer_gap"])
+    np.testing.assert_allclose(got["kmer_gap"], want_gap, rtol=5e-5,
+                               atol=1e-7)
+
+
+@pytest.mark.parametrize("n_shards", [1, 8])
+def test_seqpar_dna5_expectations_match_engine(dna_problem, n_shards):
+    from cpecan_tpu.parallel.seqpar import seqpar_expectations
+    sm, seq_x, seq_y, l_x, l_y = dna_problem
+    params = AlignmentParams()
+    anchors = [(j, j) for j in range(10, min(l_x, l_y) - 10, 12)]
+    eng = _engine_expectations(sm, seq_x, seq_y, l_x, l_y, anchors,
+                               params)
+    got = seqpar_expectations(sm, seq_x, seq_y, l_x, l_y,
+                              mesh=_mesh(n_shards), anchors=anchors,
+                              expansion=params.diagonal_expansion,
+                              dtype=jnp.float64)
+    # same windowed-total-vs-exact-total normalization drift as the
+    # strawman test above; small (~1e-3) accumulator elements carry it as
+    # ~1e-4 rel / <1e-6 abs, immaterial at EM normalization scale
+    np.testing.assert_allclose(got["trans"], np.asarray(eng["trans"]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(got["emis"], np.asarray(eng["emis"]),
+                               rtol=2e-4, atol=2e-6)
