@@ -1273,7 +1273,8 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                 np.asarray(sm.gap_x_log_probs, np.float32), neginf=NEG)),
         ))
 
-    def prepare(self, sm, reads, ragged_right=False, scale_params=None):
+    def prepare(self, sm, reads, ragged_right=False, scale_params=None,
+                shape_hint=None):
         from ..ops.band import make_band
 
         p = self.params
@@ -1285,6 +1286,13 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         Bp = G * R
         X = _round_up(max(r[2] for r in reads) + 2, 128)
         ND = max(b.n_diag for b in bands)
+        if shape_hint is not None:
+            # (max l_x, max n_diag) over a LARGER batch this chunk belongs
+            # to: pins the kernel shape key so chunked pipelines compile
+            # once instead of per chunk
+            hx, hnd = shape_hint
+            X = max(X, _round_up(hx + 2, 128))
+            ND = max(ND, hnd)
         C = ND + 3
         NDp = _round_up(ND + 3, 128) + 128
 
@@ -1431,9 +1439,11 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         return fn
 
     def run(self, sm, reads, ragged_right=False, ragged_left=False,
-            compact_k=4096, expectations=False, scale_params=None):
+            compact_k=4096, expectations=False, scale_params=None,
+            shape_hint=None):
         prep = self.prepare(sm, reads, ragged_right=ragged_right,
-                            scale_params=scale_params)
+                            scale_params=scale_params,
+                            shape_hint=shape_hint)
         X, ND, C, W = prep["X"], prep["ND"], prep["C"], prep["W"]
         scal = self._scalars(sm, ragged_left=ragged_left)
         fwd_fn, bwd_fn, bwd_exp_fn = self._fns(X, ND, C, W)

@@ -74,12 +74,18 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                    in_template_hmm=None, in_complement_hmm=None,
                    threshold=0.01, params=None, group=None, compact_k=4096,
                    log=print, interpret=None, aligner=None,
-                   sm_type="threeState"):
+                   sm_type="threeState", chunk=64):
     """Batched signalAlign through the Pallas wavefront kernel
     (sm_type 'threeState' or 'vanilla' — the reference's default machine):
     both strands of every read align in a handful of kernel launches with
     per-read model scaling on device, then the standard 15-column
     posterior tsvs are written per read.
+
+    Reads are dispatched in ``chunk``-sized slices and drained one chunk
+    behind: chunk k's tsvs are written on the host while chunk k+1 is on
+    the device (JAX async dispatch), so host post-processing and kernel
+    time overlap instead of adding.  A shape hint pinned to the whole
+    batch keeps every chunk on one compiled kernel.
 
     Same per-read preprocessing as cli.signal_align main (guide trimming,
     event slicing, anchor rebasing — vanillaAlign.c:463-530); posteriors
@@ -117,6 +123,7 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
     jobs = {TEMPLATE: [], COMPLEMENT: []}
     sps = {TEMPLATE: [], COMPLEMENT: []}
     meta = []
+    hint_lx = hint_nd = 0
     for npread_path, guide_cigar in npread_guide_pairs:
         label = os.path.basename(npread_path).replace(".npRead", "")
         try:
@@ -161,9 +168,13 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                                                      map_offset)
                 # validate the band geometry now so one bad read can't
                 # abort the whole strand batch inside the kernel prepare
+                # (and collect the batch-wide shape hint that pins one
+                # compiled kernel across all chunks)
                 from ..ops.band import make_band
-                make_band(remapped, l_x, len(events),
-                          params.diagonal_expansion)
+                band = make_band(remapped, l_x, len(events),
+                                 params.diagonal_expansion)
+                hint_lx = max(hint_lx, l_x)
+                hint_nd = max(hint_nd, band.n_diag)
                 strand_jobs.append((strand, (target, events, l_x,
                                              len(events), remapped),
                                     [npp.scale, npp.shift, npp.var,
@@ -209,49 +220,74 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
         return StateMachine3SignalStrawman(model, params=p,
                                            gap_x_log_probs=gap_x), model
 
-    results = []
-    outs = {}
+    sms = {}
     models = {}
     for strand, model_file, hmm_file in (
             (TEMPLATE, template_model_file, in_template_hmm),
             (COMPLEMENT, complement_model_file, in_complement_hmm)):
-        sm, models[strand] = strand_sm(model_file, hmm_file, strand)
-        out = pa.run(sm, jobs[strand], compact_k=compact_k,
-                     scale_params=np.asarray(sps[strand]),
-                     ragged_left=True, ragged_right=True)
-        # one device->host transfer per strand (per-read slices of device
-        # arrays would each pay the full transfer latency)
-        vals, idx = out["compact"]
-        out["compact"] = (np.asarray(vals), np.asarray(idx))
-        outs[strand] = out
+        sms[strand], models[strand] = strand_sm(model_file, hmm_file,
+                                                strand)
 
-    for i, m in enumerate(meta):
-        tsv = os.path.join(out_dir, m["label"] + ".tsv")
-        n_pairs = {}
-        with open(tsv, "w") as fh:
-            for strand in (TEMPLATE, COMPLEMENT):
-                out = outs[strand]
-                pairs = extract_pairs_auto(
-                    out, i, out["prep"]["bands"][i].n_diag,
-                    params.threshold)
-                pairs.sort(key=lambda t: t[1] + t[2])
-                n_pairs[strand] = len(pairs)
-                npp = (m["np_read"].template_params if strand == TEMPLATE
-                       else m["np_read"].complement_params)
-                full_events = (m["np_read"].template_events
-                               if strand == TEMPLATE
-                               else m["np_read"].complement_events)
-                target = (m["trimmed"] if strand == TEMPLATE
-                          else m["rc_trimmed"])
-                scaled = scale_model(models[strand], npp.scale, npp.shift,
-                                     npp.var, npp.scale_sd, npp.var_sd)
-                write_posterior_probs(
-                    fh, m["label"], scaled.match_model, npp.scale,
-                    npp.shift, full_events, target, m["forward"],
-                    m["contig"], m["ev_off"][strand],
-                    m["r_shift"][strand], pairs, strand)
-        results.append((m["label"], True,
-                        f"t={n_pairs[TEMPLATE]} c={n_pairs[COMPLEMENT]}"))
+    results = []
+
+    def drain(i0, outs):
+        # one device->host transfer per strand-chunk (per-read slices of
+        # device arrays would each pay the full transfer latency)
+        for out in outs.values():
+            vals, idx = out["compact"]
+            out["compact"] = (np.asarray(vals), np.asarray(idx))
+        for i in range(i0, min(i0 + chunk, len(meta))):
+            m = meta[i]
+            rel = i - i0
+            tsv = os.path.join(out_dir, m["label"] + ".tsv")
+            n_pairs = {}
+            with open(tsv, "w") as fh:
+                for strand in (TEMPLATE, COMPLEMENT):
+                    out = outs[strand]
+                    pairs = extract_pairs_auto(
+                        out, rel, out["prep"]["bands"][rel].n_diag,
+                        params.threshold)
+                    ap = np.asarray(pairs, dtype=np.int64).reshape(-1, 3)
+                    # tsv rows ordered by x+y = diagonal (stable: ties
+                    # keep extraction order, matching list.sort)
+                    ap = ap[np.argsort(ap[:, 1] + ap[:, 2],
+                                       kind="stable")]
+                    n_pairs[strand] = len(ap)
+                    npp = (m["np_read"].template_params
+                           if strand == TEMPLATE
+                           else m["np_read"].complement_params)
+                    full_events = (m["np_read"].template_events
+                                   if strand == TEMPLATE
+                                   else m["np_read"].complement_events)
+                    target = (m["trimmed"] if strand == TEMPLATE
+                              else m["rc_trimmed"])
+                    scaled = scale_model(models[strand], npp.scale,
+                                         npp.shift, npp.var, npp.scale_sd,
+                                         npp.var_sd)
+                    write_posterior_probs(
+                        fh, m["label"], scaled.match_model, npp.scale,
+                        npp.shift, full_events, target, m["forward"],
+                        m["contig"], m["ev_off"][strand],
+                        m["r_shift"][strand], ap, strand)
+            results.append((m["label"], True,
+                            f"t={n_pairs[TEMPLATE]} "
+                            f"c={n_pairs[COMPLEMENT]}"))
+
+    pending = None
+    for i0 in range(0, len(meta), chunk):
+        outs = {}
+        for strand in (TEMPLATE, COMPLEMENT):
+            outs[strand] = pa.run(
+                sms[strand], jobs[strand][i0:i0 + chunk],
+                compact_k=compact_k,
+                scale_params=np.asarray(sps[strand][i0:i0 + chunk]),
+                ragged_left=True, ragged_right=True,
+                shape_hint=(hint_lx, hint_nd))
+        if pending is not None:
+            drain(*pending)  # host tsv work overlaps this chunk's kernels
+        pending = (i0, outs)
+    if pending is not None:
+        drain(*pending)
     return results
 
 
