@@ -1113,6 +1113,68 @@ def _round_up(v, m):
     return ((v + m - 1) // m) * m
 
 
+def _quantize_events(ev):
+    """Per-channel affine u16 quantization of the event upload
+    ([B, E, C] f32 -> u16 codes + [2C] f32 scales) — halves the biggest
+    H2D transfer on the slow host link.  Code 0 is reserved for exact 0.0
+    (padding / y=0 rows) so dequantization preserves the no-event value
+    bit-exactly; real values map to 1..65535 with max error
+    range/2/65534 (~1e-3 pA at nanopore scales, ~40x below the f32
+    score drift the kernels already carry vs the f64 engine)."""
+    C = ev.shape[-1]
+    flat = ev.reshape(-1, C)
+    # range over the real (nonzero) values — zeros are padding and carry
+    # through the reserved code, so they must not stretch the range
+    masked = np.where(flat == 0.0, np.nan, flat)
+    lo = np.nan_to_num(np.nanmin(masked, axis=0), nan=0.0)
+    hi = np.nan_to_num(np.nanmax(masked, axis=0), nan=0.0)
+    sc = np.maximum((hi - lo) / 65534.0, 1e-12).astype(np.float32)
+    q = np.rint((ev - lo) / sc).astype(np.int64) + 1
+    q = np.where(ev == 0.0, 0, np.clip(q, 1, 65535)).astype(np.uint16)
+    return q, np.concatenate([sc, lo.astype(np.float32)])
+
+
+def _dequantize_events(evq, evs):
+    """Device-side inverse of _quantize_events ([..., C] u16 -> f32)."""
+    C = evq.shape[-1]
+    sc, lo = evs[:C], evs[C:]
+    v = (evq.astype(jnp.float32) - 1.0) * sc + lo
+    return jnp.where(evq == 0, 0.0, v)
+
+
+def _base_codes(reads, X):
+    """Per-read base codes [B, X + KMER_LENGTH - 1] u8 for the device-side
+    kmer-index build: position x holds ref[x - 1] as 0..3 (A,C,G,T), 4
+    for N / padding / the x=0 boundary — a 4x smaller upload than int16
+    kmer indices."""
+    from ..constants import KMER_LENGTH
+    from ..models import kmers as K
+
+    B = len(reads)
+    codes = np.full((B, X + KMER_LENGTH - 1), 4, dtype=np.uint8)
+    for r, (ref, *_rest) in enumerate(reads):
+        b = K.seq_to_base_indices(ref)
+        codes[r, 1:1 + len(b)] = np.minimum(b, 4)
+    return codes
+
+
+def _kx_from_codes(codes):
+    """Device-side seq_to_kmer_indices: [B, X + K - 1] u8 base codes ->
+    [B, X] int32 kmer indices, any window containing a non-ACGT code ->
+    N_SENTINEL (exactly the host function's contract)."""
+    from ..constants import KMER_LENGTH, N_SENTINEL
+
+    c = codes.astype(jnp.int32)
+    X = c.shape[1] - (KMER_LENGTH - 1)
+    kx = jnp.zeros(c.shape[:1] + (X,), jnp.int32)
+    ok = jnp.ones(c.shape[:1] + (X,), bool)
+    for i in range(KMER_LENGTH):
+        ci = jax.lax.slice_in_dim(c, i, i + X, axis=1)
+        kx = kx + ci * (4 ** (KMER_LENGTH - 1 - i))
+        ok = ok & (ci < 4)
+    return jnp.where(ok, kx, N_SENTINEL)
+
+
 class _PallasAlignerBase:
     """Group-of-R batched banded forward/backward over the wavefront
     kernels, parameterized by a machine spec (emissions + transition
@@ -1178,27 +1240,26 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         sp = prep.get("sp")
         return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256,
                                  scaled=sp is not None)(
-            *([jax.device_put(prep["kx"]), jax.device_put(prep["ev"])]
+            *([jax.device_put(prep["codes"]), jax.device_put(prep["evq"]),
+               jax.device_put(prep["evs"])]
               + ([jax.device_put(sp)] if sp is not None else [])
               + [mm, gm, gapx]))
 
     def _feature_inputs(self, reads, X):
-        """Compact per-read inputs for on-device feature assembly: kmer
-        indices [B, X] int16 and events [B, maxev+1, 2] f32.  Keeping the
-        upload small matters — the host->device link is the slow resource,
-        so the [B, 9, X] gathers happen on the TPU (_assemble_fn)."""
-        from ..constants import N_SENTINEL
-        from ..models import kmers as K
-
+        """Compact per-read inputs for on-device feature assembly: base
+        codes [B, X+5] u8 (kmer indices rebuild on device — 4x smaller
+        than int16 kmer indices) and events quantized to u16 (+4 f32
+        scales).  Keeping the upload small matters — the host->device
+        link is the slow resource, so the [B, 9, X] gathers happen on the
+        TPU (_assemble_fn).  Host-side f32 events stay in prep for the
+        HDP stream builder."""
         B = len(reads)
-        kx = np.full((B, X), N_SENTINEL, dtype=np.int16)
         max_ev = max(r[1].shape[0] for r in reads)
         ev = np.zeros((B, max_ev + 1, 2), np.float32)
-        for r, (ref, events, _l_x, _l_y, _a) in enumerate(reads):
-            ki = K.seq_to_kmer_indices(ref)
-            kx[r, 1:1 + len(ki)] = ki
+        for r, (_ref, events, _l_x, _l_y, _a) in enumerate(reads):
             ev[r, 1:1 + len(events), :] = events[:, :2]
-        return dict(kx=kx, ev=ev)
+        evq, evs = _quantize_events(ev)
+        return dict(ev=ev, codes=_base_codes(reads, X), evq=evq, evs=evs)
 
     def _assemble_fn(self, C, Y, scaled=False):
         """Jitted on-device feature assembly (cached per (C, Y) shape).
@@ -1212,8 +1273,9 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             return self._cache[key]
         from ..constants import NUM_OF_KMERS
 
-        def assemble(kx, ev, sp, mm, gm, gapx):
-            kx = kx.astype(jnp.int32)
+        def assemble(codes, evq, evs, sp, mm, gm, gapx):
+            kx = _kx_from_codes(codes)
+            ev = _dequantize_events(evq, evs)
             valid = kx <= NUM_OF_KMERS
             safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
             if sp is None:
@@ -1244,8 +1306,8 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         if scaled:
             fn = jax.jit(assemble)
         else:
-            fn = jax.jit(lambda kx, ev, mm, gm, gapx:
-                         assemble(kx, ev, None, mm, gm, gapx))
+            fn = jax.jit(lambda codes, evq, evs, mm, gm, gapx:
+                         assemble(codes, evq, evs, None, mm, gm, gapx))
         self._cache[key] = fn
         return fn
 
@@ -1503,7 +1565,9 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         B, R = prep["B"], prep["R"]
         G = prep["Bp"] // R
         S = self.spec.S
-        kx = jnp.asarray(prep["kx"]).astype(jnp.int32).reshape(G, R, -1)
+        # kmer indices rebuild on device from the u8 base codes (same
+        # upload the feature assembly uses) instead of re-shipping int16
+        kx = _kx_from_codes(jnp.asarray(prep["codes"])).reshape(G, R, -1)
 
         def reduce_fn(trans, gapx, kx, totals):
             tr = trans[:, :, :S * S].reshape(G * R, S, S)
@@ -1686,7 +1750,8 @@ class VanillaPallasAligner(StrawmanPallasAligner):
             kxp[r, : l_x + 1] = _kmer_idx_at(ref, pos)
             kxn[r, : l_x + 1] = _kmer_idx_at(ref, pos + 1)
             ev[r, 1:1 + len(events), :] = events[:, :2]
-        return dict(kxp=kxp, kxn=kxn, ev=ev)
+        evq, evs = _quantize_events(ev)
+        return dict(kxp=kxp, kxn=kxn, ev=ev, evq=evq, evs=evs)
 
     def _model_tables(self, sm):
         from ..io.poremodel import (LEVEL_MEAN, LEVEL_SD, NOISE_MEAN,
@@ -1706,7 +1771,8 @@ class VanillaPallasAligner(StrawmanPallasAligner):
             return self._cache[key]
         from ..constants import NUM_OF_KMERS
 
-        def assemble(kxp, kxn, ev, sp, mm4, gm4, skip60, t_m2y):
+        def assemble(kxp, kxn, evq, evs, sp, mm4, gm4, skip60, t_m2y):
+            ev = _dequantize_events(evq, evs)
             kx = kxn.astype(jnp.int32)
             valid = kx <= NUM_OF_KMERS
             safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
@@ -1761,9 +1827,10 @@ class VanillaPallasAligner(StrawmanPallasAligner):
         if scaled:
             fn = jax.jit(assemble)
         else:
-            fn = jax.jit(lambda kxp, kxn, ev, mm4, gm4, skip60, t_m2y:
-                         assemble(kxp, kxn, ev, None, mm4, gm4, skip60,
-                                  t_m2y))
+            fn = jax.jit(lambda kxp, kxn, evq, evs, mm4, gm4, skip60,
+                         t_m2y:
+                         assemble(kxp, kxn, evq, evs, None, mm4, gm4,
+                                  skip60, t_m2y))
         self._cache[key] = fn
         return fn
 
@@ -1771,7 +1838,7 @@ class VanillaPallasAligner(StrawmanPallasAligner):
         mm4, gm4, skip60 = self._model_tables(sm)
         sp = prep.get("sp")
         args = [jax.device_put(prep["kxp"]), jax.device_put(prep["kxn"]),
-                jax.device_put(prep["ev"])]
+                jax.device_put(prep["evq"]), jax.device_put(prep["evs"])]
         if sp is not None:
             args.append(jax.device_put(sp))
         return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256,
@@ -1847,8 +1914,8 @@ class HdpPallasAligner(StrawmanPallasAligner):
         if key not in self._cache:
             C, X = prep["C"], prep["X"]
 
-            def assemble(kx, gapx):
-                kx = kx.astype(jnp.int32)
+            def assemble(codes, gapx):
+                kx = _kx_from_codes(codes)
                 valid = kx <= NUM_OF_KMERS
                 safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
                 B = kx.shape[0]
@@ -1859,7 +1926,7 @@ class HdpPallasAligner(StrawmanPallasAligner):
                 return xf, yf
 
             self._cache[key] = jax.jit(assemble)
-        return self._cache[key](jax.device_put(prep["kx"]), gapx_t)
+        return self._cache[key](jax.device_put(prep["codes"]), gapx_t)
 
     def _hdp_tables(self, sm):
         def build(sm):
@@ -1903,8 +1970,14 @@ class HdpPallasAligner(StrawmanPallasAligner):
         if key not in self._cache:
             D = ND + 3
 
-            def build(win, kx, evm, tab, slo, grid0, dx, glast):
-                kx = kx.astype(jnp.int32)
+            def build(win, codes, evm, tab, slo, grid0, dx, glast):
+                # u8 base codes -> kmer indices on device (4x smaller
+                # upload); event means stay f32 here — HDP pair scores sit
+                # at the 1e-3 fixed-point sensitivity the HIGHEST-precision
+                # matmul note below describes, so the u16 event
+                # quantization the non-streamed machines use is not worth
+                # the parity risk on this path
+                kx = _kx_from_codes(codes)
                 valid = kx <= NUM_OF_KMERS
                 safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
 
@@ -2041,7 +2114,7 @@ class HdpPallasAligner(StrawmanPallasAligner):
             self._cache[key] = jax.jit(build)
         fn = self._cache[key]
         est = fn(jax.device_put(prep["win"].astype(np.int32)),
-                 jax.device_put(prep["kx"]),
+                 jax.device_put(prep["codes"]),
                  jax.device_put(np.ascontiguousarray(prep["ev"][:, :, 0])),
                  tables_dev, slopes_dev,
                  np.float32(grid[0]), np.float32(grid[1] - grid[0]),
@@ -2347,8 +2420,12 @@ def compact_posteriors(posts, k=4096):
     full-tensor top-k work (lax.top_k over the full plane dominates
     otherwise).
 
-    posts: [G, ND+1, R, W] -> (values [G, R, k], flat_idx [G, R, k]) where
-    flat_idx encodes (d-1) * W + l (diagonal 0 is never emitted).
+    posts: [G, ND+1, R, W] -> (values [G, R, k] u16, flat_idx [G, R, k])
+    where flat_idx encodes (d-1) * W + l (diagonal 0 is never emitted).
+    Values ship as u16 fixed point (p * 65535, clipped to [0, 1] — the
+    extractors' min(p, 1) applied early): 1.5e-5 absolute score error,
+    ~40x below the kernel-vs-engine f32 drift, for another third off the
+    device->host transfer.  The extractors dequantize transparently.
     """
     import jax
     import jax.numpy as jnp
@@ -2383,7 +2460,18 @@ def compact_posteriors(posts, k=4096):
     cand = jnp.take_along_axis(flat, full, axis=-1)
     vals, sub = jax.lax.top_k(cand, min(k, kp * POOL))
     idx = jnp.take_along_axis(full, sub, axis=-1)
-    return vals, idx
+    qv = jnp.round(jnp.clip(vals, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
+    return qv, idx
+
+
+def _compact_row(vals, g, r):
+    """One read's compacted values as f32 probabilities (dequantizing the
+    u16 fixed-point wire format; plain float arrays pass through so older
+    callers keep working)."""
+    v = np.asarray(vals[g, r])
+    if v.dtype == np.uint16:
+        v = v.astype(np.float32) / np.float32(65535.0)
+    return v
 
 
 _compact_jit = None
@@ -2397,7 +2485,7 @@ def extract_pairs_compact(vals, idx, read_idx, n_diag, prep, threshold):
     R, W = prep["R"], prep["W"]
     win = prep["win"]
     g, r = divmod(read_idx, R)
-    v = np.asarray(vals[g, r])
+    v = _compact_row(vals, g, r)
     ix = np.asarray(idx[g, r]).astype(np.int64)
     d = ix // W + 1
     keep = (v >= threshold) & (d <= n_diag)
@@ -2425,7 +2513,7 @@ def extract_echelon_pairs(out, read_idx, n_diag, threshold):
     NP = out["posteriors"].shape[2]
     win = prep["win"]
     g, r = divmod(read_idx, R)
-    v = np.asarray(vals[g, r])
+    v = _compact_row(vals, g, r)
     pairs = []
 
     def emit(p, d, j, l):
@@ -2470,7 +2558,7 @@ def extract_pairs_auto(out, read_idx, n_diag, threshold):
     prep = out["prep"]
     R = prep["R"]
     g, r = divmod(read_idx, R)
-    v = np.asarray(vals[g, r])
+    v = _compact_row(vals, g, r)
     if v.size == 0 or v[-1] < threshold:
         return extract_pairs_compact(vals, idx, read_idx, n_diag, prep,
                                      threshold)
