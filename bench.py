@@ -159,7 +159,12 @@ def bench_dna_em():
     rng = random.Random(3)
     seqs = {}
     alns = []
-    for i in range(32):
+    # 128 x 1kb pairs = 4 kernel chunks: the reference's cPecanEm samples
+    # up to 50Mbp per iteration (maxAlignmentLengthToSample), so the
+    # steady-state chunked E-step — deferred D2H of chunk k overlapping
+    # chunk k+1's kernels — is the workload that matters, not a single
+    # latency-bound launch
+    for i in range(128):
         sx = "".join(rng.choice("ACGT") for _ in range(1000))
         sy = "".join(c if rng.random() > 0.12 else rng.choice("ACGT")
                      for c in sx)

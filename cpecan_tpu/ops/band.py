@@ -121,8 +121,9 @@ def band_construct(anchor_pairs, l_x, l_y, expansion):
     assert expansion % 2 == 0
     n = l_x + l_y
     # matrix-coordinate waypoints: origin, anchors+1, terminal corner
-    ax = np.asarray([a[0] for a in anchor_pairs], dtype=np.int64) + 1
-    ay = np.asarray([a[1] for a in anchor_pairs], dtype=np.int64) + 1
+    ap = np.asarray(anchor_pairs, dtype=np.int64).reshape(-1, 2)
+    ax = ap[:, 0] + 1
+    ay = ap[:, 1] + 1
     if len(ax):
         if not (np.all(np.diff(ax) > 0) and np.all(np.diff(ay) > 0)
                 and ax[0] > 0 and ay[0] > 0 and ax[-1] <= l_x

@@ -1175,6 +1175,23 @@ def _kx_from_codes(codes):
     return jnp.where(ok, kx, N_SENTINEL)
 
 
+def _kx_from_codes_np(codes):
+    """Host twin of _kx_from_codes (same contract, numpy) — used by the
+    expectation finalize, where the codes are already host-resident."""
+    from ..constants import KMER_LENGTH, N_SENTINEL
+
+    c = codes.astype(np.int64)
+    X = c.shape[1] - (KMER_LENGTH - 1)
+    kx = np.zeros(c.shape[:1] + (X,), np.int64)
+    ok = np.ones(c.shape[:1] + (X,), bool)
+    for i in range(KMER_LENGTH):
+        ci = c[:, i:i + X]
+        kx += ci * (4 ** (KMER_LENGTH - 1 - i))
+        ok &= ci < 4
+    kx[~ok] = N_SENTINEL
+    return kx
+
+
 class _PallasAlignerBase:
     """Group-of-R batched banded forward/backward over the wavefront
     kernels, parameterized by a machine spec (emissions + transition
@@ -1367,7 +1384,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         anch = np.full((Bp, A_max, 2), -1, np.int16)
         meta = np.zeros((Bp, 4), np.int32)
         for r, (_x, _y, l_x, l_y, a) in enumerate(reads):
-            if a:
+            if len(a):
                 anch[r, : len(a)] = np.asarray(a, np.int64)
             meta[r] = (l_x, l_y, bands[r].n_diag, 1 if ragged_right else 0)
         # padding rows reuse the last read's band (no ragged end)
@@ -1502,7 +1519,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
 
     def run(self, sm, reads, ragged_right=False, ragged_left=False,
             compact_k=4096, expectations=False, scale_params=None,
-            shape_hint=None):
+            shape_hint=None, defer_expectations=False):
         prep = self.prepare(sm, reads, ragged_right=ragged_right,
                             scale_params=scale_params,
                             shape_hint=shape_hint)
@@ -1537,9 +1554,17 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             posts, totals, trans, gapx = bwd_exp_fn(
                 scal, win3, xf, yf, basef, widthf, seedf, raggedf, fwd,
                 *extra)
-            out["expectations"] = self._reduce_expectations(sm, prep,
-                                                            trans, gapx,
-                                                            totals)
+            flat = self._exp_dispatch(prep, trans, gapx, totals)
+            if defer_expectations:
+                # no D2H here: the caller finalizes after dispatching the
+                # next chunk's kernels (finalize_expectations); drop the
+                # posterior plane reference so HBM frees between chunks
+                out["expectations_flat"] = flat
+                out["prep"] = prep
+                out["totals"] = totals
+                return out
+            out["expectations"] = self._exp_finalize(sm, prep,
+                                                     np.asarray(flat))
         else:
             posts, totals = bwd_fn(scal, win3, xf, yf, basef, widthf,
                                    seedf, raggedf, fwd, *extra)
@@ -1557,32 +1582,57 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         return out
 
     def _reduce_expectations(self, sm, prep, trans, gapx, totals):
-        """Device-side post-processing of the kernel's expectation
-        accumulators: [G, R, 128] transition lanes -> [B, 3, 3]; per-column
-        gap-X mass scattered to per-kmer counters by the column's kmer
-        index (the engine's 'signal3' kmer_gap, ops/engine.py)."""
-        from ..constants import NUM_OF_KMERS
-        B, R = prep["B"], prep["R"]
-        G = prep["Bp"] // R
+        """Fused device reduce + ONE D2H round trip (the tunnel charges
+        ~25ms fixed latency per transfer; r2's three sequential
+        np.asarray calls dominated the E-step), then host finalize."""
+        return self._exp_finalize(
+            sm, prep,
+            np.asarray(self._exp_dispatch(prep, trans, gapx, totals)))
+
+    def finalize_expectations(self, sm, out):
+        """Host half of a deferred E-step (run(..., expectations=True,
+        defer_expectations=True)): one D2H transfer of the fused
+        accumulator.  Deferring lets a pipeline dispatch chunk k+1's
+        kernels before blocking on chunk k's download."""
+        return self._exp_finalize(sm, out["prep"],
+                                  np.asarray(out["expectations_flat"]))
+
+    def _exp_dispatch(self, prep, trans, gapx, totals):
+        """Device side: flatten the kernel accumulators into ONE [GR, F]
+        f32 array so the whole E-step result crosses the tunnel in a
+        single transfer.  Strawman/SM4 layout: S*S transition lanes, X
+        per-column gap-X masses (the per-kmer scatter happens on host,
+        where the base codes already live — 4x fewer bytes than shipping
+        the [B, 4098] per-kmer table), 1 window total."""
         S = self.spec.S
-        # kmer indices rebuild on device from the u8 base codes (same
-        # upload the feature assembly uses) instead of re-shipping int16
-        kx = _kx_from_codes(jnp.asarray(prep["codes"])).reshape(G, R, -1)
+        key = ("expdisp", self.spec.__name__, S)
+        if key not in self._cache:
+            def fn(trans, gapx, totals):
+                G, R = trans.shape[0], trans.shape[1]
+                tr = trans[:, :, :S * S].reshape(G * R, S * S)
+                gc = gapx[:, 0].reshape(G * R, gapx.shape[-1])
+                tot = totals.reshape(G * R, -1)[:, :1]
+                return jnp.concatenate([tr, gc, tot], axis=1)
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key](trans, gapx, totals)
 
-        def reduce_fn(trans, gapx, kx, totals):
-            tr = trans[:, :, :S * S].reshape(G * R, S, S)
-            idx = jnp.clip(kx, 0, NUM_OF_KMERS + 1).reshape(G * R, -1)
-            seg = jax.vmap(
-                lambda vals, ids: jnp.zeros(NUM_OF_KMERS + 2).at[ids].add(
-                    vals))(gapx[:, 0].reshape(G * R, -1), idx)
-            return tr, seg, totals.reshape(G * R, -1)[:, 0]
-
-        tr, seg, tot = jax.jit(reduce_fn)(trans, gapx, kx, totals)
-        n_diag = jnp.asarray([b.n_diag for b in prep["bands"]])
+    def _exp_finalize(self, sm, prep, flat):
+        from ..constants import NUM_OF_KMERS
+        B, X = prep["B"], prep["X"]
+        S = self.spec.S
+        tr = flat[:B, :S * S].reshape(B, S, S).astype(np.float64)
+        gc = flat[:B, S * S:S * S + X].astype(np.float64)
+        tot = flat[:B, S * S + X].astype(np.float64)
+        kx = _kx_from_codes_np(prep["codes"][:B])
+        idx = np.clip(kx, 0, NUM_OF_KMERS + 1)
+        seg = np.zeros((B, NUM_OF_KMERS + 2))
+        rows = np.repeat(np.arange(B)[:, None], idx.shape[1], axis=1)
+        np.add.at(seg, (rows, idx), gc)
+        n_diag = np.asarray([b.n_diag for b in prep["bands"]])
         return {
-            "trans": np.asarray(tr)[:B],
-            "kmer_gap": np.asarray(seg)[:B],
-            "likelihood": np.asarray(tot)[:B] * np.asarray(n_diag),
+            "trans": tr,
+            "kmer_gap": seg,
+            "likelihood": tot * n_diag,
         }
 
     def _fns(self, X, ND, C, W):
@@ -1845,7 +1895,21 @@ class VanillaPallasAligner(StrawmanPallasAligner):
                                  scaled=sp is not None)(
             *args, mm4, gm4, skip60, np.float32(sm.t_m_to_y_not_x))
 
-    def _reduce_expectations(self, sm, prep, trans, gapx, totals):
+    def _exp_dispatch(self, prep, trans, gapx, totals):
+        """Vanilla fused wire format: the two per-column posterior-mass
+        rows (beta, alpha) plus the window total in one [GR, 2X+1]
+        array; the skip-bin scatter happens on host."""
+        key = ("expdisp", self.spec.__name__)
+        if key not in self._cache:
+            def fn(gapx, totals):
+                G, _n, R, X = gapx.shape
+                g2 = gapx.transpose(0, 2, 1, 3).reshape(G * R, 2 * X)
+                tot = totals.reshape(G * R, -1)[:, :1]
+                return jnp.concatenate([g2, tot], axis=1)
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key](gapx, totals)
+
+    def _exp_finalize(self, sm, prep, flat):
         """Vanilla EM: per-column beta/alpha posterior masses scattered to
         the 60 skip bins (vanillaHmm kmer-skip expectations,
         impl/continuousHmm.c:410-426).  Bins recomputed host-side with
@@ -1855,7 +1919,6 @@ class VanillaPallasAligner(StrawmanPallasAligner):
         from ..constants import NUM_OF_KMERS
         B, R, X = prep["B"], prep["R"], prep["X"]
         Bp = prep["Bp"]
-        G = Bp // R
         kxp = prep["kxp"].astype(np.int64)
         kxn = prep["kxn"].astype(np.int64)
         mm0 = np.asarray(sm.model.match_model[:, 0], np.float32)
@@ -1873,15 +1936,13 @@ class VanillaPallasAligner(StrawmanPallasAligner):
 
         d = np.abs(mean(kxn) - mean(kxp))
         bins = np.minimum((d / np.float32(0.5)).astype(np.int64), 29)
-        # [G, 2, R, X] -> [G*R, 2, X]
-        gapx_h = np.asarray(gapx).transpose(0, 2, 1, 3).reshape(
-            G * R, 2, X)[:Bp]
+        gapx_h = flat[:Bp, :2 * X].reshape(Bp, 2, X).astype(np.float64)
         skip = np.zeros((Bp, 60))
         rows = np.repeat(np.arange(Bp)[:, None], X, axis=1)
         np.add.at(skip, (rows, bins), gapx_h[:, 0, :])       # beta
         np.add.at(skip, (rows, bins + 30), gapx_h[:, 1, :])  # alpha
         n_diag = np.asarray([b.n_diag for b in prep["bands"]])
-        tot = np.asarray(totals).reshape(G * R, -1)[:Bp, 0]
+        tot = flat[:Bp, 2 * X].astype(np.float64)
         return {
             "skip_bins": skip[:B],
             "likelihood": tot[:B] * n_diag,
@@ -2227,33 +2288,41 @@ class Dna5PallasAligner(StrawmanPallasAligner):
         return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256)(
             jax.device_put(prep["bx"]), jax.device_put(ev), match5, gapx5)
 
-    def _reduce_expectations(self, sm, prep, trans, gapx, totals):
+    def _exp_dispatch(self, prep, trans, gapx, totals):
         """DNA EM reduce (cell_updateExpectations,
         impl/pairwiseAligner.c:423-441): [G, R, 128] transition lanes ->
-        [B, 5, 5]; the 20 per-column (to-state, y-base) posterior masses
-        scatter to emis[to, x-base, y-base] by each column's x base (N
-        columns excluded via the 4-wide one-hot, like the engine)."""
-        B, R, X = prep["B"], prep["R"], prep["X"]
-        G = prep["Bp"] // R
-
-        def reduce_fn(trans, gapx, bx, totals):
-            tr = trans[:, :, :25].reshape(G * R, 5, 5)
-            acc = gapx.transpose(0, 2, 1, 3).reshape(G * R, 5, 4, X)
-            ohx = (bx[:, :, None] == jnp.arange(4)[None, None, :]).astype(
-                jnp.float32)
-            emis = jnp.einsum("bsyx,bxk->bsky", acc, ohx)
-            return tr, emis, totals.reshape(G * R, -1)[:, 0]
-
-        key = ("reduce5", G, R, X)
+        [GR, 25]; the 20 per-column (to-state, y-base) posterior masses
+        contract to emis[to, x-base, y-base] by each column's x base (N
+        columns excluded via the 4-wide one-hot, like the engine).  All
+        of it ships as ONE [GR, 25+80+1] array."""
+        key = ("expdisp", self.spec.__name__)
         if key not in self._cache:
-            self._cache[key] = jax.jit(reduce_fn)
-        tr, emis, tot = self._cache[key](
+            def fn(trans, gapx, bx, totals):
+                G, R = trans.shape[0], trans.shape[1]
+                GR = G * R
+                tr = trans[:, :, :25].reshape(GR, 25)
+                acc = gapx.transpose(0, 2, 1, 3).reshape(
+                    GR, 5, 4, gapx.shape[-1])
+                ohx = (bx[:, :, None] == jnp.arange(4)[None, None, :]
+                       ).astype(acc.dtype)
+                emis = jnp.einsum("bsyx,bxk->bsky", acc, ohx).reshape(
+                    GR, 80)
+                tot = totals.reshape(GR, -1)[:, :1]
+                return jnp.concatenate([tr, emis, tot], axis=1)
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key](
             trans, gapx, jnp.asarray(prep["bx"]).astype(jnp.int32), totals)
+
+    def _exp_finalize(self, sm, prep, flat):
+        B = prep["B"]
+        tr = flat[:B, :25].reshape(B, 5, 5).astype(np.float64)
+        emis = flat[:B, 25:105].reshape(B, 5, 4, 4).astype(np.float64)
+        tot = flat[:B, 105].astype(np.float64)
         n_diag = np.asarray([b.n_diag for b in prep["bands"]])
         return {
-            "trans": np.asarray(tr)[:B],
-            "emis": np.asarray(emis)[:B],
-            "likelihood": np.asarray(tot)[:B] * n_diag,
+            "trans": tr,
+            "emis": emis,
+            "likelihood": tot * n_diag,
         }
 
 

@@ -224,15 +224,42 @@ def calculate_shard_expectations(shard, sequences, sm, params):
     return hmm
 
 
+def _anchor_pairs_np(aln, trim):
+    """convert_alignment_to_anchor_pairs (cli/realign.py,
+    impl/pairwiseAligner.c:1088-1112) vectorized: one arange per M op
+    instead of a Python loop per matched column."""
+    segs = []
+    j, k = aln.start1, aln.start2
+    assert aln.strand1 and aln.strand2
+    for op, length in aln.operations:
+        if op == "M":
+            l = np.arange(trim, length - trim, dtype=np.int64)
+            segs.append(np.stack([j + l, k + l], axis=1))
+        if op != "I":
+            j += length
+        if op != "D":
+            k += length
+    if not segs:
+        return np.zeros((0, 2), np.int64)
+    return np.concatenate(segs, axis=0)
+
+
 def _alignment_jobs(alignments, sequences, params):
     """Slice/rebase/anchor each cigar and split at large anchor-free gaps,
     yielding kernel jobs (sub_x, sub_y, l_x, l_y, anchors) — the same
-    geometry the scan E-step sees, batched for one kernel launch."""
+    geometry the scan E-step sees, batched for one kernel launch.
+
+    Anchor generation, the match/N filter, and the no-split check are
+    vectorized (the E-step host prep was dominated by per-character
+    Python loops); alignments that DO need splitting fall back to the
+    reference-faithful get_split_points walk."""
     import copy
 
     from ..ops.anchors import get_split_points
 
     jobs = []
+    n_code = ord("N")
+    T = params.split_matrix_bigger_than_this
     for aln in alignments:
         aln = copy.copy(aln)
         sub_x = get_sub_sequence(sequences[aln.contig1], aln.start1,
@@ -244,14 +271,31 @@ def _alignment_jobs(alignments, sequences, params):
                            not aln.strand1)
         rebase_coordinates(aln, 2, -(aln.start2 if aln.strand2 else aln.end2),
                            not aln.strand2)
-        anchors = convert_alignment_to_anchor_pairs(
-            aln, params.constraint_diagonal_trim)
-        anchors = [(x, y) for x, y in anchors
-                   if sub_x[x].upper() == sub_y[y].upper()
-                   and sub_x[x].upper() != "N"]
-        split_points = get_split_points(anchors, len(sub_x), len(sub_y),
-                                        params.split_matrix_bigger_than_this,
-                                        True, True)
+        pairs = _anchor_pairs_np(aln, params.constraint_diagonal_trim)
+        sxb = np.frombuffer(sub_x.upper().encode("latin-1"), np.uint8)
+        syb = np.frombuffer(sub_y.upper().encode("latin-1"), np.uint8)
+        bx = sxb[pairs[:, 0]]
+        keep = (bx == syb[pairs[:, 1]]) & (bx != n_code)
+        anchors = pairs[keep]
+        l_x, l_y = len(sub_x), len(sub_y)
+        ax, ay = anchors[:, 0], anchors[:, 1]
+        # block (x2,y2)->(x3,y3) sizes between consecutive anchors plus
+        # the two ragged ends — the exact quantities get_split_points
+        # tests (impl/pairwiseAligner.c:1338-1389)
+        x2 = np.concatenate([[0], ax + 1])
+        y2 = np.concatenate([[0], ay + 1])
+        x3 = np.concatenate([ax, [l_x]])
+        y3 = np.concatenate([ay, [l_y]])
+        if len(ax) and not (np.all(np.diff(ax) > 0) and np.all(
+                np.diff(ay) > 0) and ax[0] >= 0 and ay[0] >= 0
+                and ax[-1] < l_x and ay[-1] < l_y):
+            raise ValueError("anchors not strictly increasing within "
+                             f"[0, {l_x}) x [0, {l_y})")
+        if ((x3 - x2) * (y3 - y2) <= T).all():
+            jobs.append((sub_x, sub_y, l_x, l_y, anchors))
+            continue
+        anchors = [(int(x), int(y)) for x, y in anchors]
+        split_points = get_split_points(anchors, l_x, l_y, T, True, True)
         j = 0
         for (x1, y1, x2, y2) in split_points:
             sub_anchors = []
@@ -281,12 +325,19 @@ def calculate_expectations_pallas(shards, sequences, sm, params, aligner):
     hmm.likelihood = 0.0
     if not jobs:
         return hmm
-    out = aligner.run(sm, jobs, expectations=True, ragged_left=True,
-                      ragged_right=True)
-    exp = out["expectations"]
-    hmm.transitions += np.asarray(exp["trans"]).sum(axis=0)
-    hmm.emissions += np.asarray(exp["emis"]).sum(axis=0)
-    hmm.likelihood += float(np.asarray(exp["likelihood"]).sum())
+    # chunked + deferred: every chunk's kernels are dispatched before the
+    # first chunk's single fused D2H transfer blocks, so host prep and
+    # downloads overlap device compute (JAX async dispatch)
+    chunk = 64
+    outs = [aligner.run(sm, jobs[i:i + chunk], expectations=True,
+                        defer_expectations=True, ragged_left=True,
+                        ragged_right=True)
+            for i in range(0, len(jobs), chunk)]
+    for out in outs:
+        exp = aligner.finalize_expectations(sm, out)
+        hmm.transitions += exp["trans"].sum(axis=0)
+        hmm.emissions += exp["emis"].sum(axis=0)
+        hmm.likelihood += float(exp["likelihood"].sum())
     return hmm
 
 
