@@ -59,16 +59,21 @@ def _emit(metric, value, unit, baseline=None):
 
 
 def bench_headline(sm, reads, pa):
-    """Chunked, pipelined batch: dispatch every chunk, sync once.
-    chunk=128 / compact_k=1024 measured best on this tunnel (no top-k
+    """Chunked, pipelined batch: dispatch every chunk, start its D2H
+    asynchronously (copy_to_host_async), materialize at the end — chunk
+    k's pair download rides under chunk k+1's host prep and kernels.
+    chunk=64 / compact_k=1024 measured best on this tunnel (no top-k
     saturation at Zymo scale; the auto-extractor falls back if one
     occurs)."""
-    chunk = 128
+    chunk = 64
 
     def run():
         outs = []
         for i in range(0, len(reads), chunk):
-            outs.append(pa.run(sm, reads[i:i + chunk], compact_k=1024))
+            o = pa.run(sm, reads[i:i + chunk], compact_k=1024)
+            o["compact"][0].copy_to_host_async()
+            o["compact"][1].copy_to_host_async()
+            outs.append(o)
         return [(np.asarray(o["compact"][0]), np.asarray(o["compact"][1]))
                 for o in outs], outs
 

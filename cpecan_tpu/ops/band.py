@@ -209,6 +209,127 @@ def make_band(anchor_pairs, l_x, l_y, expansion):
     return BandGeometry(l_x, l_y, xmy_l, xmy_r, x_lo, width)
 
 
+def make_bands(anchor_lists, l_xs, l_ys, expansion):
+    """Batched make_band: one flat numpy pass over every read's anchor
+    chain (the per-read band_construct is ~25 small-array numpy calls,
+    which dominated batch host prep at B=128).  Returns a list of
+    BandGeometry whose arrays are views into shared [B, NDmax+1] planes —
+    per read identical to make_band (asserted in tests)."""
+    assert expansion % 2 == 0
+    B = len(l_xs)
+    l_xs = np.asarray(l_xs, np.int64)
+    l_ys = np.asarray(l_ys, np.int64)
+    n = l_xs + l_ys
+    nd1 = int(n.max()) + 1
+
+    aps = [np.asarray(a, np.int64).reshape(-1, 2) for a in anchor_lists]
+    n_a = np.asarray([len(a) for a in aps], np.int64)
+    # flat waypoints per read: [0, anchors+1 ..., terminal corner]
+    woff = np.concatenate([[0], np.cumsum(n_a + 2)])
+    wx = np.empty(int(woff[-1]), np.int64)
+    wy = np.empty(int(woff[-1]), np.int64)
+    for r, ap in enumerate(aps):
+        o = woff[r]
+        wx[o] = 0
+        wy[o] = 0
+        if len(ap):
+            ax = ap[:, 0] + 1
+            ay = ap[:, 1] + 1
+            if not (np.all(np.diff(ax) > 0) and np.all(np.diff(ay) > 0)
+                    and ax[0] > 0 and ay[0] > 0 and ax[-1] <= l_xs[r]
+                    and ay[-1] <= l_ys[r]):
+                raise ValueError("anchors must be strictly increasing and "
+                                 "in range")
+            wx[o + 1:o + 1 + len(ax)] = ax
+            wy[o + 1:o + 1 + len(ay)] = ay
+        wx[woff[r + 1] - 1] = l_xs[r]
+        wy[woff[r + 1] - 1] = l_ys[r]
+
+    # segment s of read r spans waypoints (s, s+1); S_r = n_a + 1 segments
+    n_s = n_a + 1
+    soff = np.concatenate([[0], np.cumsum(n_s)])
+    seg_read = np.repeat(np.arange(B), n_s)
+    seg_i = np.arange(int(soff[-1])) - soff[seg_read]
+    wp = woff[seg_read] + seg_i
+    pxay = wx[wp] + wy[wp]
+    pxmy = wx[wp] - wy[wp]
+    nxay = wx[wp + 1] + wy[wp + 1]
+    nxmy = wx[wp + 1] - wy[wp + 1]
+    lxs = l_xs[seg_read]
+    lys = l_ys[seg_read]
+    seg_x_l = np.clip((pxay + (pxmy - expansion)) // 2, 0, lxs)
+    seg_y_l = np.clip((nxay - (nxmy - expansion)) // 2, 0, lys)
+    seg_x_u = np.clip((nxay + (nxmy + expansion)) // 2, 0, lxs)
+    seg_y_u = np.clip((pxay - (pxmy + expansion)) // 2, 0, lys)
+
+    # diagonals 1..n_r of read r take the first segment with nxay >= d;
+    # np.repeat over per-segment diagonal counts (sums to n_r per read)
+    prev = np.concatenate([[0], nxay[:-1]])
+    lengths = nxay - np.where(seg_i == 0, 0, prev)
+    drow = np.repeat(np.arange(B), n)
+    doff = np.concatenate([[0], np.cumsum(n)])
+    dcol = np.arange(int(doff[-1])) - doff[drow] + 1
+    # int32 planes + in-place ops: the [B, ND] elementwise block is
+    # memory-bound and coordinates fit int32 with lots of headroom (the
+    # kernel metadata is int16 anyway)
+    x_l = np.zeros((B, nd1), np.int32)
+    y_l = np.zeros((B, nd1), np.int32)
+    x_u = np.zeros((B, nd1), np.int32)
+    y_u = np.zeros((B, nd1), np.int32)
+    x_l[drow, dcol] = np.repeat(seg_x_l, lengths)
+    y_l[drow, dcol] = np.repeat(seg_y_l, lengths)
+    x_u[drow, dcol] = np.repeat(seg_x_u, lengths)
+    y_u[drow, dcol] = np.repeat(seg_y_u, lengths)
+
+    xay = np.broadcast_to(np.arange(nd1, dtype=np.int32)[None, :], (B, nd1))
+    xmy_l = x_l - y_l
+    xmy_r = x_u - y_u
+    t = xay + xmy_l
+    t &= 1
+    xmy_l += t          # parity fix: +1 when (xay+xmy) is odd
+    t = xay + xmy_r
+    t &= 1
+    xmy_r += t
+    # sequential coordinate bounds (band_setCurrentDiagonalP)
+    t = xay + xmy_l
+    t //= 2
+    np.subtract(x_l, t, out=t)
+    np.maximum(t, 0, out=t)
+    t += t
+    xmy_l += t
+    t = xay - xmy_l
+    t //= 2
+    t -= y_l
+    np.maximum(t, 0, out=t)
+    t += t
+    xmy_l += t
+    t = xay + xmy_r
+    t //= 2
+    t -= x_u
+    np.maximum(t, 0, out=t)
+    t += t
+    xmy_r -= t
+    t = xay - xmy_r
+    t //= 2
+    np.subtract(y_u, t, out=t)
+    np.maximum(t, 0, out=t)
+    t += t
+    xmy_r -= t
+    live = xay <= n[:, None]
+    bad = live & ((((xay + xmy_l) & 1) != 0) | (((xay + xmy_r) & 1) != 0)
+                  | (xmy_l > xmy_r))
+    if np.any(bad):
+        r0, d0 = (int(v[0]) for v in np.nonzero(bad))
+        raise ValueError(f"invalid diagonal: xay {d0} xmyL {xmy_l[r0, d0]} "
+                         f"xmyR {xmy_r[r0, d0]}")
+    x_lo = (xay + xmy_l) >> 1
+    width = ((xmy_r - xmy_l) >> 1) + 1
+    return [BandGeometry(int(l_xs[r]), int(l_ys[r]),
+                         xmy_l[r, :n[r] + 1], xmy_r[r, :n[r] + 1],
+                         x_lo[r, :n[r] + 1], width[r, :n[r] + 1])
+            for r in range(B)]
+
+
 def full_band(l_x, l_y):
     """Band covering the full matrix (getAlignedPairsWithoutBanding uses an
     anchor-less band with expansion 2, impl/pairwiseAligner.c:1581)."""

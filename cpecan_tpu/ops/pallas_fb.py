@@ -1354,12 +1354,12 @@ class StrawmanPallasAligner(_PallasAlignerBase):
 
     def prepare(self, sm, reads, ragged_right=False, scale_params=None,
                 shape_hint=None):
-        from ..ops.band import make_band
+        from ..ops.band import make_bands
 
         p = self.params
         R = self.group
-        bands = [make_band(a, l_x, l_y, p.diagonal_expansion)
-                 for _, _, l_x, l_y, a in reads]
+        bands = make_bands([r[4] for r in reads], [r[2] for r in reads],
+                           [r[3] for r in reads], p.diagonal_expansion)
         B = len(reads)
         G = _round_up(B, R) // R
         Bp = G * R

@@ -90,3 +90,37 @@ def test_vectorized_band_construct_matches_loop():
         got = band_construct(anchors, l_x, l_y, exp)
         np.testing.assert_array_equal(got[0], want[0], err_msg=str(trial))
         np.testing.assert_array_equal(got[1], want[1], err_msg=str(trial))
+
+
+def test_batched_make_bands_matches_make_band():
+    from cpecan_tpu.ops.band import make_bands
+    rng = np.random.default_rng(13)
+    cases = []
+    for _ in range(60):
+        l_x = int(rng.integers(1, 200))
+        l_y = int(rng.integers(1, 200))
+        n_anchor = int(rng.integers(0, min(l_x, l_y)))
+        xs = np.sort(rng.choice(l_x, n_anchor, replace=False))
+        ys = np.sort(rng.choice(l_y, n_anchor, replace=False))
+        cases.append((list(zip(xs.tolist(), ys.tolist())), l_x, l_y))
+    cases.append(([], 0, 7))   # zero-length edges
+    cases.append(([], 5, 0))
+    for exp in (0, 2, 20):
+        got = make_bands([c[0] for c in cases], [c[1] for c in cases],
+                         [c[2] for c in cases], exp)
+        for (a, l_x, l_y), bb in zip(cases, got):
+            want = make_band(a, l_x, l_y, exp)
+            assert (want.l_x, want.l_y) == (bb.l_x, bb.l_y)
+            for f in ("xmy_l", "xmy_r", "x_lo", "width"):
+                np.testing.assert_array_equal(
+                    getattr(bb, f), getattr(want, f),
+                    err_msg=f"{f} exp={exp} lx={l_x} ly={l_y}")
+
+
+def test_batched_make_bands_rejects_bad_anchors():
+    from cpecan_tpu.ops.band import make_bands
+    import pytest
+    with pytest.raises(ValueError):
+        make_bands([[(5, 5), (4, 8)]], [20], [20], 2)  # non-monotone x
+    with pytest.raises(ValueError):
+        make_bands([[(5, 25)]], [20], [20], 2)         # y out of range
