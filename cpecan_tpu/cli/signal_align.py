@@ -77,6 +77,31 @@ def make_event_slice(events, query_start, query_end, event_map):
     return events[lo:hi], lo
 
 
+_TSV_LIB = None
+
+
+def _native_tsv():
+    """Build/load the native tsv block formatter (native/tsv_format.cc);
+    None when no C++ toolchain is available (Python path used instead)."""
+    global _TSV_LIB
+    if _TSV_LIB is None:
+        import ctypes
+
+        from ..native import load_library
+        lib = load_library("tsv_format")
+        if lib is not None:
+            lib.tsv_format_rows.restype = ctypes.c_longlong
+            lib.tsv_format_rows.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_char_p, ctypes.c_longlong]
+        _TSV_LIB = lib if lib is not None else False
+    return _TSV_LIB or None
+
+
 def write_posterior_probs(fh, read_label, match_model, scale, shift, events,
                           target, forward, contig, event_offset, ref_offset,
                           aligned_pairs, strand):
@@ -119,18 +144,52 @@ def write_posterior_probs(fh, read_label, match_model, scale, shift, events,
         win = np.lib.stride_tricks.sliding_window_view(codes, KMER_LENGTH)
         return np.ascontiguousarray(win).view(f"S{KMER_LENGTH}").ravel()
 
-    k_col = kmer_windows(target)[x_i].astype("U")
+    k_bytes = kmer_windows(target)[x_i]
     if (strand == TEMPLATE) == forward:
-        ref_col = k_col
+        ref_bytes = k_bytes
     else:
         rc_target = reverse_complement(target)
-        ref_col = kmer_windows(rc_target)[L - x_i - KMER_LENGTH].astype("U")
+        ref_bytes = kmer_windows(rc_target)[L - x_i - KMER_LENGTH]
+
+    n = len(ap)
+    lib = _native_tsv()
+    if lib is not None:
+        # native block formatter (native/tsv_format.cc): identical bytes,
+        # ~10x faster than the CPython %-format path below
+        import ctypes
+        cont = np.ascontiguousarray
+        ev_c = cont(ev, dtype=np.float64)
+        f64 = [cont(a, dtype=np.float64)
+               for a in (e_level, e_noise, p, descaled_mean,
+                         descaled_e_level)]
+        frag0 = (contig + "\t").encode()
+        frag2 = ("\t" + read_label + "\t" + strand_label + "\t").encode()
+        cap = n * (160 + len(frag0) + len(frag2)) + 4096
+        for _ in range(3):
+            buf = ctypes.create_string_buffer(cap)
+            m = lib.tsv_format_rows(
+                frag0, frag2, n,
+                cont(x_adj, dtype=np.int64).ctypes.data_as(
+                    ctypes.c_void_p),
+                cont(ref_bytes).ctypes.data_as(ctypes.c_void_p),
+                ref_bytes.dtype.itemsize,
+                cont(y, dtype=np.int64).ctypes.data_as(ctypes.c_void_p),
+                ev_c.ctypes.data_as(ctypes.c_void_p),
+                cont(k_bytes).ctypes.data_as(ctypes.c_void_p),
+                k_bytes.dtype.itemsize,
+                *(a.ctypes.data_as(ctypes.c_void_p) for a in f64),
+                buf, cap)
+            if m >= 0:
+                fh.write(buf.raw[:m].decode("utf-8"))
+                return
+            cap *= 8  # snprintf fallback rows (huge magnitudes) blew cap
 
     # ONE printf-style pass over the whole block: the per-row format
     # string replicated n times, applied to the row-interleaved value
     # tuple.  ~3-4x faster than a per-row f-string loop (and np.char.mod
     # loops per element in Python — slower still); output text identical.
-    n = len(ap)
+    k_col = k_bytes.astype("U")
+    ref_col = k_col if ref_bytes is k_bytes else ref_bytes.astype("U")
     esc = str.maketrans({"%": "%%"})
     fmt = (f"{contig.translate(esc)}\t%d\t%s\t{read_label.translate(esc)}"
            f"\t{strand_label}\t%d\t%f\t%f\t%f\t%s\t%f\t%f\t%f\t%f\t%f\n")

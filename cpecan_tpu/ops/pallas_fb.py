@@ -1353,13 +1353,14 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         ))
 
     def prepare(self, sm, reads, ragged_right=False, scale_params=None,
-                shape_hint=None):
+                shape_hint=None, bands=None):
         from ..ops.band import make_bands
 
         p = self.params
         R = self.group
-        bands = make_bands([r[4] for r in reads], [r[2] for r in reads],
-                           [r[3] for r in reads], p.diagonal_expansion)
+        if bands is None:
+            bands = make_bands([r[4] for r in reads], [r[2] for r in reads],
+                               [r[3] for r in reads], p.diagonal_expansion)
         B = len(reads)
         G = _round_up(B, R) // R
         Bp = G * R
@@ -1519,10 +1520,10 @@ class StrawmanPallasAligner(_PallasAlignerBase):
 
     def run(self, sm, reads, ragged_right=False, ragged_left=False,
             compact_k=4096, expectations=False, scale_params=None,
-            shape_hint=None, defer_expectations=False):
+            shape_hint=None, defer_expectations=False, bands=None):
         prep = self.prepare(sm, reads, ragged_right=ragged_right,
                             scale_params=scale_params,
-                            shape_hint=shape_hint)
+                            shape_hint=shape_hint, bands=bands)
         X, ND, C, W = prep["X"], prep["ND"], prep["C"], prep["W"]
         scal = self._scalars(sm, ragged_left=ragged_left)
         fwd_fn, bwd_fn, bwd_exp_fn = self._fns(X, ND, C, W)
@@ -2546,10 +2547,13 @@ def _compact_row(vals, g, r):
 _compact_jit = None
 
 
-def extract_pairs_compact(vals, idx, read_idx, n_diag, prep, threshold):
+def extract_pairs_compact(vals, idx, read_idx, n_diag, prep, threshold,
+                          as_array=False):
     """Host-side pair extraction from compacted (top-k) windowed
     posteriors (vectorized — per-pair Python loops dominate the batch
-    pipeline's host time otherwise)."""
+    pipeline's host time otherwise).  ``as_array`` returns an [N, 3]
+    int64 (score, x, y) array instead of a tuple list (saves the
+    array->tuple->array churn in batch pipelines)."""
     from ..constants import PAIR_ALIGNMENT_PROB_1
     R, W = prep["R"], prep["W"]
     win = prep["win"]
@@ -2564,6 +2568,8 @@ def extract_pairs_compact(vals, idx, read_idx, n_diag, prep, threshold):
     x = win[g, d] + l
     scores = np.floor(np.minimum(v.astype(np.float64), 1.0)
                       * PAIR_ALIGNMENT_PROB_1).astype(np.int64)
+    if as_array:
+        return np.stack([scores, x - 1, d - x - 1], axis=1)
     return list(zip(scores.tolist(), (x - 1).tolist(),
                     (d - x - 1).tolist()))
 
@@ -2614,7 +2620,7 @@ def extract_echelon_pairs(out, read_idx, n_diag, threshold):
     return pairs
 
 
-def extract_pairs_auto(out, read_idx, n_diag, threshold):
+def extract_pairs_auto(out, read_idx, n_diag, threshold, as_array=False):
     """Pair extraction that detects top-k saturation: when every one of a
     read's k compacted cells clears the threshold, pairs may have been
     dropped — fall back to that read's full windowed posterior plane (one
@@ -2630,19 +2636,18 @@ def extract_pairs_auto(out, read_idx, n_diag, threshold):
     v = _compact_row(vals, g, r)
     if v.size == 0 or v[-1] < threshold:
         return extract_pairs_compact(vals, idx, read_idx, n_diag, prep,
-                                     threshold)
+                                     threshold, as_array=as_array)
     # saturated: extract from the full posterior plane for this read
     # (diagonal 0 is never swept; valid pairs need x >= 1 and y >= 1)
     win = prep["win"]
     sub = np.asarray(out["posteriors"][g, 1: n_diag + 1, r])
-    pairs = []
     d_idx, l_idx = np.nonzero(sub >= threshold)
-    for d0, l in zip(d_idx, l_idx):
-        d = int(d0) + 1
-        p = min(float(sub[d0, l]), 1.0)
-        x = int(win[g, d]) + int(l)
-        if x < 1 or d - x < 1:
-            continue
-        pairs.append((int(np.floor(p * PAIR_ALIGNMENT_PROB_1)),
-                      x - 1, d - x - 1))
-    return pairs
+    d = d_idx.astype(np.int64) + 1
+    x = win[g, d] + l_idx
+    p = np.minimum(sub[d_idx, l_idx].astype(np.float64), 1.0)
+    keep = (x >= 1) & (d - x >= 1)
+    scores = np.floor(p[keep] * PAIR_ALIGNMENT_PROB_1).astype(np.int64)
+    ap = np.stack([scores, x[keep] - 1, (d - x)[keep] - 1], axis=1)
+    if as_array:
+        return ap
+    return list(map(tuple, ap.tolist()))

@@ -93,7 +93,7 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
     windowed-traceback estimates, so scores can differ from the scan
     engine in ~1e-3 while pair decisions match.
     """
-    import copy
+    import dataclasses
 
     import jax
     import numpy as np
@@ -148,7 +148,8 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
         contig = aln.contig1
         r_shift = {TEMPLATE: aln.start1, COMPLEMENT: aln.end1}
         map_offset = aln.start2
-        aln2 = copy.deepcopy(aln)
+        # cheap copy (ops tuples are immutable; deepcopy cost ~2ms/read)
+        aln2 = dataclasses.replace(aln, operations=list(aln.operations))
         flip1 = not aln2.strand1
         ref_shift = aln2.start1 if aln2.strand1 else aln2.end1
         rebase_coordinates(aln2, 1, -ref_shift, flip1)
@@ -166,15 +167,24 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                 l_x = max(len(target) - (KMER_LENGTH - 1), 0)
                 remapped = get_remapped_anchor_pairs(anchors, emap,
                                                      map_offset)
-                # validate the band geometry now so one bad read can't
+                # cheap anchor/shape validation so one bad read can't
                 # abort the whole strand batch inside the kernel prepare
-                # (and collect the batch-wide shape hint that pins one
-                # compiled kernel across all chunks)
-                from ..ops.band import make_band
-                band = make_band(remapped, l_x, len(events),
-                                 params.diagonal_expansion)
+                # (full band geometry is built once per strand below);
+                # n_diag = l_x + l_y, so the batch-wide shape hint that
+                # pins one compiled kernel needs no band construction
+                a = np.asarray(remapped, np.int64).reshape(-1, 2)
+                if len(a) and not (
+                        np.all(np.diff(a[:, 0]) > 0)
+                        and np.all(np.diff(a[:, 1]) > 0)
+                        and a[0, 0] >= 0 and a[0, 1] >= 0
+                        and a[-1, 0] < l_x and a[-1, 1] < len(events)):
+                    raise ValueError("anchors must be strictly increasing "
+                                     "and in range")
+                if l_x + 130 >= 2 ** 15:
+                    raise ValueError(f"reference length {l_x} exceeds the "
+                                     "int16 band-metadata range")
                 hint_lx = max(hint_lx, l_x)
-                hint_nd = max(hint_nd, band.n_diag)
+                hint_nd = max(hint_nd, l_x + len(events))
                 strand_jobs.append((strand, (target, events, l_x,
                                              len(events), remapped),
                                     [npp.scale, npp.shift, npp.var,
@@ -192,6 +202,43 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
 
     if not meta:
         return []
+
+    # band geometry, built ONCE per strand over the whole batch (the
+    # batched make_bands is ~4x the per-read make_band; prepare reuses
+    # these instead of rebuilding per chunk).  A geometric failure the
+    # cheap per-read checks above missed falls back to per-read
+    # construction to isolate and drop the offending reads.
+    from ..ops.band import make_band, make_bands
+
+    def build_bands():
+        return {s: make_bands([j[4] for j in jobs[s]],
+                              [j[2] for j in jobs[s]],
+                              [j[3] for j in jobs[s]],
+                              params.diagonal_expansion)
+                for s in (TEMPLATE, COMPLEMENT)}
+
+    try:
+        bands_all = build_bands()
+    except ValueError:
+        bad = set()
+        for i, m in enumerate(meta):
+            for s in (TEMPLATE, COMPLEMENT):
+                j = jobs[s][i]
+                try:
+                    make_band(j[4], j[2], j[3], params.diagonal_expansion)
+                except ValueError as exc:
+                    log(f"skipping {m['label']}: {exc}")
+                    bad.add(i)
+                    break
+        keep = [i for i in range(len(meta)) if i not in bad]
+        meta = [meta[i] for i in keep]
+        for s in (TEMPLATE, COMPLEMENT):
+            jobs[s] = [jobs[s][i] for i in keep]
+            sps[s] = [sps[s][i] for i in keep]
+        if not meta:
+            return []
+        bands_all = build_bands()
+
     if sm_type not in ("threeState", "vanilla"):
         raise ValueError("run_batch_fast supports sm_type 'threeState' or "
                          "'vanilla'")
@@ -244,10 +291,9 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
             with open(tsv, "w") as fh:
                 for strand in (TEMPLATE, COMPLEMENT):
                     out = outs[strand]
-                    pairs = extract_pairs_auto(
+                    ap = extract_pairs_auto(
                         out, rel, out["prep"]["bands"][rel].n_diag,
-                        params.threshold)
-                    ap = np.asarray(pairs, dtype=np.int64).reshape(-1, 3)
+                        params.threshold, as_array=True).reshape(-1, 3)
                     # tsv rows ordered by x+y = diagonal (stable: ties
                     # keep extraction order, matching list.sort)
                     ap = ap[np.argsort(ap[:, 1] + ap[:, 2],
@@ -282,7 +328,8 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                 compact_k=compact_k,
                 scale_params=np.asarray(sps[strand][i0:i0 + chunk]),
                 ragged_left=True, ragged_right=True,
-                shape_hint=(hint_lx, hint_nd))
+                shape_hint=(hint_lx, hint_nd),
+                bands=bands_all[strand][i0:i0 + chunk])
         if pending is not None:
             drain(*pending)  # host tsv work overlaps this chunk's kernels
         pending = (i0, outs)
