@@ -76,7 +76,8 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                    log=print, interpret=None, aligner=None,
                    sm_type="threeState", chunk=64):
     """Batched signalAlign through the Pallas wavefront kernel
-    (sm_type 'threeState' or 'vanilla' — the reference's default machine):
+    (sm_type 'threeState', 'vanilla' — the reference's default machine —
+    or 'fourState'):
     both strands of every read align in a handful of kernel launches with
     per-read model scaling on device, then the standard 15-column
     posterior tsvs are written per read.
@@ -110,11 +111,19 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
     from ..io.poremodel import load_pore_model, scale_model
     from ..models.hmm import ContinuousPairHmm, VanillaHmm
     from ..models.state_machines import (StateMachine3SignalStrawman,
-                                         StateMachine3Vanilla)
+                                         StateMachine3Vanilla, StateMachine4)
     from ..ops.anchors import filter_to_remove_overlap
-    from ..ops.pallas_fb import (StrawmanPallasAligner,
+    from ..ops.pallas_fb import (Sm4PallasAligner, StrawmanPallasAligner,
                                  VanillaPallasAligner, extract_pairs_auto)
 
+    aligner_cls = {"threeState": StrawmanPallasAligner,
+                   "vanilla": VanillaPallasAligner,
+                   "fourState": Sm4PallasAligner}
+    if sm_type not in aligner_cls:
+        # echelon batches need per-read scaled model/skip tables the
+        # shared-table kernel path doesn't carry; run_batch covers it
+        raise ValueError("run_batch_fast supports sm_type 'threeState', "
+                         "'vanilla' or 'fourState' (echelon: run_batch)")
     params = params or AlignmentParams(threshold=threshold)
     os.makedirs(out_dir, exist_ok=True)
     with open(reference_path) as fh:
@@ -239,17 +248,13 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
             return []
         bands_all = build_bands()
 
-    if sm_type not in ("threeState", "vanilla"):
-        raise ValueError("run_batch_fast supports sm_type 'threeState' or "
-                         "'vanilla'")
     if aligner is not None:
         pa = aligner  # reuse compiled kernels across batches
     else:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
-        cls = (VanillaPallasAligner if sm_type == "vanilla"
-               else StrawmanPallasAligner)
-        pa = cls(params, interpret=interpret, group=group)
+        pa = aligner_cls[sm_type](params, interpret=interpret,
+                                  group=group)
 
     def strand_sm(model_file, hmm_file, strand):
         model = load_pore_model(model_file)
@@ -263,7 +268,11 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
         p = gap_x = None
         if hmm_file:
             hmm = ContinuousPairHmm.load(hmm_file)
-            p, gap_x = hmm.to_sm3_params()
+            p, gap_x = (hmm.to_sm4_params() if sm_type == "fourState"
+                        else hmm.to_sm3_params())
+        if sm_type == "fourState":
+            return StateMachine4(model, params=p,
+                                 gap_x_log_probs=gap_x), model
         return StateMachine3SignalStrawman(model, params=p,
                                            gap_x_log_probs=gap_x), model
 

@@ -175,3 +175,50 @@ def test_run_batch_fast_vanilla(tmp_path, zymo_reference_seq, zymo_npread):
     inter = len(fast_set & scan_set)
     assert inter >= 0.96 * len(scan_set), (len(fast_set), len(scan_set),
                                            inter)
+
+
+def test_run_batch_fast_four_state(tmp_path, zymo_reference_seq,
+                                   zymo_npread):
+    """run_batch_fast with the fourState machine vs the scan run_batch on
+    the Zymo read (the reference drives all four vanillaAlign machines
+    through its batch pipeline, scripts/nanoporeLib.py:824-835)."""
+    from cpecan_tpu.pipeline.signal_align_batch import run_batch, \
+        run_batch_fast
+
+    guide = _zymo_guides(tmp_path, zymo_reference_seq, zymo_npread)
+    qname = guide.split()[1]
+    reads = tmp_path / "reads"
+    reads.mkdir()
+    shutil.copy(NPREAD, reads / f"{qname}.npRead")
+    pairs = [(str(reads / f"{qname}.npRead"), guide)]
+
+    fast_out = tmp_path / "fast4"
+    results = run_batch_fast(REF, pairs, str(fast_out),
+                             template_model_file=TMODEL,
+                             complement_model_file=CMODEL,
+                             log=lambda m: None, sm_type="fourState")
+    assert len(results) == 1 and results[0][1]
+    fast_rows = (fast_out / f"{qname}.tsv").read_text().splitlines()
+    assert len(fast_rows) > 1000
+    assert all(len(r.split("\t")) == 15 for r in fast_rows[:50])
+
+    scan_out = tmp_path / "scan4"
+    run_batch(REF, pairs, str(scan_out), sm_type="fourState", banded=True,
+              log=lambda m: None)
+    scan_rows = (scan_out / f"{qname}.tsv").read_text().splitlines()
+
+    def pair_set(rows):
+        return {(r.split("\t")[1], r.split("\t")[4], r.split("\t")[5])
+                for r in rows}
+    fast_set = pair_set(fast_rows)
+    scan_set = pair_set(scan_rows)
+    inter = len(fast_set & scan_set)
+    assert inter >= 0.96 * len(scan_set), (len(fast_set), len(scan_set),
+                                           inter)
+
+
+def test_run_batch_fast_echelon_rejected():
+    from cpecan_tpu.pipeline.signal_align_batch import run_batch_fast
+    with pytest.raises(ValueError, match="echelon"):
+        run_batch_fast(REF, [], "/tmp/x", template_model_file=TMODEL,
+                       complement_model_file=CMODEL, sm_type="echelon")
