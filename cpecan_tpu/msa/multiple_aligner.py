@@ -414,32 +414,51 @@ class MultipleAlignment:
 
 
 def make_alignment(align_fn, seq_frags, spanning_trees, max_pairs_to_consider,
-                   use_progressive_merging, match_gamma, rng=None):
+                   use_progressive_merging, match_gamma, rng=None,
+                   batch_align_fn=None):
     """makeAlignment (impl/multipleAligner.c:892-944).
 
     ``align_fn(seq_x, seq_y, ragged_left, ragged_right)`` returns reweighted
     (score, x, y) pairs — the caller wires in the TPU engine (addMultiple-
     AlignedPairs uses getAlignedPairs + reweightAlignedPairs2).
+
+    ``batch_align_fn(jobs)`` — jobs a list of the same 4-tuples — aligns a
+    whole round of pairwise jobs at once and returns one pair list per job
+    (e.g. `msa.tpu.tpu_batch_align_fn`: every round is a handful of Pallas
+    kernel launches instead of one DP per pair).  When given, ``align_fn``
+    may be None.
     """
     rng = rng or random.Random(0)
     n = len(seq_frags)
 
     mA = MultipleAlignment()
 
+    def add_pairs_many(pair_list):
+        """Align every (s1, s2) in pair_list (one batch when
+        batch_align_fn is wired), extend mA, return per-pair distances."""
+        jobs = [(seq_frags[a].seq, seq_frags[b].seq,
+                 seq_frags[a].left_end_id != seq_frags[b].left_end_id,
+                 seq_frags[a].right_end_id != seq_frags[b].right_end_id)
+                for a, b in pair_list]
+        if batch_align_fn is not None:
+            results = batch_align_fn(jobs)
+        else:
+            results = [align_fn(*job) for job in jobs]
+        dists = []
+        for (s1, s2), pairs in zip(pair_list, results):
+            f1, f2 = seq_frags[s1], seq_frags[s2]
+            dists.append(get_alignment_score(pairs, f1.length, f2.length))
+            mA.aligned_pairs.extend((sc, s1, x, s2, y)
+                                    for sc, x, y in pairs)
+        return dists
+
     def add_pairs(s1, s2):
-        f1, f2 = seq_frags[s1], seq_frags[s2]
-        pairs = align_fn(f1.seq, f2.seq,
-                         f1.left_end_id != f2.left_end_id,
-                         f1.right_end_id != f2.right_end_id)
-        dist = get_alignment_score(pairs, f1.length, f2.length)
-        mA.aligned_pairs.extend((sc, s1, x, s2, y) for sc, x, y in pairs)
-        return dist
+        return add_pairs_many([(s1, s2)])[0]
 
     if spanning_trees * (n - 1) >= (n * (n - 1)) // 2:
-        sim = []
-        for s1 in range(n):
-            for s2 in range(s1 + 1, n):
-                sim.append((add_pairs(s1, s2), s1, s2))
+        all_prs = [(s1, s2) for s1 in range(n) for s2 in range(s1 + 1, n)]
+        sim = [(d, s1, s2) for d, (s1, s2)
+               in zip(add_pairs_many(all_prs), all_prs)]
         mA.chosen_pairwise_alignments = sim
         if n == 2 or use_progressive_merging:
             mA.columns = make_columns_progressive(seq_frags, mA.aligned_pairs,
@@ -452,8 +471,9 @@ def make_alignment(align_fn, seq_frags, spanning_trees, max_pairs_to_consider,
         return mA
 
     chosen = set(get_reference_pairwise_alignments(seq_frags))
-    for s1, s2 in sorted(chosen):
-        mA.chosen_pairwise_alignments.append((add_pairs(s1, s2), s1, s2))
+    first = sorted(chosen)
+    mA.chosen_pairwise_alignments.extend(
+        (d, s1, s2) for d, (s1, s2) in zip(add_pairs_many(first), first))
     iteration = 0
     while True:
         if n == 2 or use_progressive_merging:
@@ -470,10 +490,13 @@ def make_alignment(align_fn, seq_frags, spanning_trees, max_pairs_to_consider,
             return mA
         subs, nonsubs = get_distance_matrix(mA.columns, seq_frags,
                                             max_pairs_to_consider)
+        round_pairs = []
         for seq in range(n):
             other = get_next_best_pair(seq, n, subs, nonsubs, chosen, rng)
             if other is not None:
                 pair = tuple(sorted((seq, other)))
-                mA.chosen_pairwise_alignments.append(
-                    (add_pairs(*pair), *pair))
+                round_pairs.append(pair)
                 chosen.add(pair)
+        mA.chosen_pairwise_alignments.extend(
+            (d, s1, s2) for d, (s1, s2)
+            in zip(add_pairs_many(round_pairs), round_pairs))

@@ -2356,13 +2356,18 @@ class EchelonPallasAligner(StrawmanPallasAligner):
         validm = np.zeros((B, X), np.uint8)
         max_ev = max(r[1].shape[0] for r in reads)
         ev = np.zeros((B, max_ev + 1, 3), np.float32)
+        from ..models import kmers as K
         for r, (ref, events, l_x, _l_y, _a) in enumerate(reads):
             refp = ref + "n" * 30  # sequence_padSequence
             pos = _getkmer2_positions(l_x)
             n_pos = len(pos)
-            kxp[r, :n_pos] = _kmer_idx_at(refp, pos)
+            # one kmer-index pass per read, sliced six ways (the kmer scan
+            # dominated echelon host prep when done per offset)
+            all_idx = K.seq_to_kmer_indices(refp, length=len(refp))
+            hi = len(refp) - 1
+            kxp[r, :n_pos] = all_idx[np.clip(pos, 0, hi)]
             for i in range(5):
-                kx5[r, i, :n_pos] = _kmer_idx_at(refp, pos + 1 + i)
+                kx5[r, i, :n_pos] = all_idx[np.clip(pos + 1 + i, 0, hi)]
             chars = np.frombuffer(refp.encode(), dtype=np.uint8)
             bits = np.zeros(n_pos, np.uint8)
             for n in range(1, 6):

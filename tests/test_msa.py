@@ -72,3 +72,53 @@ def test_make_alignment_all_pairs():
     # all three sequences aligned position-by-position: columns of size 3
     sizes = sorted(len(m) for m in mA.columns.members.values())
     assert sizes[-1] == 3
+
+
+def _mutate(rng, s, rate=0.08):
+    return "".join(c if rng.random() > rate else
+                   rng.choice("ACGT") for c in s)
+
+
+def test_tpu_batch_align_fn_matches_per_pair():
+    """msa.tpu.tpu_batch_align_fn: one batched kernel round returns exactly
+    what per-job calls return, and make_alignment(batch_align_fn=...) is
+    identical to the per-pair align_fn path (the refactor only changes WHEN
+    alignments run, never what they compute)."""
+    import random as _random
+
+    from cpecan_tpu.msa.multiple_aligner import SeqFrag, make_alignment
+    from cpecan_tpu.msa.tpu import tpu_batch_align_fn
+
+    rng = _random.Random(7)
+    base = "".join(rng.choice("ACGT") for _ in range(44))
+    frags = [SeqFrag(base, 0, 1), SeqFrag(_mutate(rng, base), 0, 1),
+             SeqFrag(_mutate(rng, base), 2, 3),
+             SeqFrag(_mutate(rng, base), 2, 1)]
+    bfn = tpu_batch_align_fn(interpret=True)
+
+    jobs = [(frags[a].seq, frags[b].seq,
+             frags[a].left_end_id != frags[b].left_end_id,
+             frags[a].right_end_id != frags[b].right_end_id)
+            for a in range(4) for b in range(a + 1, 4)]
+    batched = bfn(jobs)
+    singles = [bfn([j])[0] for j in jobs]
+    assert batched == singles
+    assert all(len(p) > 0 for p in batched)
+
+    def one(x, y, rl, rr):
+        return bfn([(x, y, rl, rr)])[0]
+
+    for st in (2, 1):  # all-pairs branch, then the spanning-tree branch
+        mA_b = make_alignment(None, frags, spanning_trees=st,
+                              max_pairs_to_consider=1000,
+                              use_progressive_merging=False,
+                              match_gamma=0.2, rng=_random.Random(1),
+                              batch_align_fn=bfn)
+        mA_s = make_alignment(one, frags, spanning_trees=st,
+                              max_pairs_to_consider=1000,
+                              use_progressive_merging=False,
+                              match_gamma=0.2, rng=_random.Random(1))
+        assert mA_b.aligned_pairs == mA_s.aligned_pairs
+        assert mA_b.chosen_pairwise_alignments == \
+            mA_s.chosen_pairwise_alignments
+        assert len(mA_b.aligned_pairs) > 0
