@@ -21,6 +21,8 @@ History (this machine, TPU v5e 1 chip, headline batch e2e):
   r2 + device-built bands, hierarchical exact top-k, chunk pipelining
   r2 + group=32 packing (band-local kernels amortize per-step fixed
      cost over 4x reads): device 4.84e8 -> 8.04e8 cells/s
+  r3 + quantized wire formats (-36% tunnel bytes), chunk=64 with
+     async per-chunk D2H:            ~965 -> ~1470 alignments/s
 vs_baseline is the ratio against the first recorded TPU measurement
 (10.2 aligns/s; the reference publishes no numbers — BASELINE.md).
 """
