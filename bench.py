@@ -368,6 +368,53 @@ def bench_signal_pipeline():
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def bench_msa():
+    """MSA layer e2e (makeAlignment, impl/multipleAligner.c:892-944): the
+    spanning-tree rounds' pairwise jobs run batched through the DNA
+    5-state Pallas kernels (msa/tpu.py) instead of one DP per pair."""
+    import random
+
+    from cpecan_tpu.align import AlignmentParams
+    from cpecan_tpu.msa.multiple_aligner import SeqFrag, make_alignment
+    from cpecan_tpu.msa.tpu import tpu_batch_align_fn
+    from cpecan_tpu.ops.pallas_fb import Dna5PallasAligner
+
+    rng = random.Random(17)
+    base = "".join(rng.choice("ACGT") for _ in range(1000))
+
+    def mutate(s):
+        return "".join(c if rng.random() > 0.08 else rng.choice("ACGT")
+                       for c in s)
+
+    frags = [SeqFrag(mutate(base), 2 * i, 2 * i + 1) for i in range(16)]
+    pa = Dna5PallasAligner(AlignmentParams(), interpret=False)
+    n_jobs = [0]
+
+    def counting_bfn(inner):
+        def bfn(jobs):
+            n_jobs[0] += len(jobs)
+            return inner(jobs)
+        return bfn
+
+    bfn = counting_bfn(tpu_batch_align_fn(aligner=pa))
+
+    def run():
+        n_jobs[0] = 0
+        return make_alignment(None, frags, spanning_trees=2,
+                              max_pairs_to_consider=10000,
+                              use_progressive_merging=False,
+                              match_gamma=0.2, rng=random.Random(5),
+                              batch_align_fn=bfn)
+
+    mA = run()
+    assert len(mA.aligned_pairs) > 0
+    jobs = n_jobs[0]
+    dt = _median_time(run)
+    _emit("msa_pairwise_alignments_per_sec", jobs / dt,
+          f"pairwise alignments/s inside makeAlignment (16x 1kb seqs, "
+          f"2 spanning trees, {jobs} jobs/round, batched kernel rounds)")
+
+
 def bench_hdp(reads):
     from cpecan_tpu.align import AlignmentParams
     from cpecan_tpu.hdp.nanopore_hdp import flat_hdp_model_2
@@ -425,11 +472,18 @@ def main():
     batch = 256
     sm, reads = _synthetic_batch(n_reads=batch, n_ref=905, n_events=800,
                                  seed=7)
-    # group=32 (32 reads per kernel launch): the band-local per-step
-    # vector work is so small that fixed per-step costs dominate; packing
-    # 4x the reads per launch measured 4.84e8 -> 8.04e8 device cells/s,
-    # with extracted pairs bit-identical to group=8 (128/128 reads).
-    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=32)
+    # group=64 (64 reads per kernel launch) on the posterior-only paths:
+    # band-local per-step vector work is so small that fixed per-step
+    # costs dominate, so packing more reads per launch keeps winning —
+    # 4.84e8 (R=8) -> 8.04e8 (R=32) -> 8.76e8 (R=64) device cells/s,
+    # flat at R=128; pairs + expectations bit-identical to R=32 across
+    # strawman/dna5/vanilla/sm4 (128/128 reads).  EM expectation runs
+    # keep group=32: the two-page VMEM accumulator ladder doubles with R
+    # and measured ~10% SLOWER at 64 (977 -> 882 reads/s).  The library
+    # default stays 32 — heterogeneous batches widen the per-group window
+    # union (prepare() grows W past 128 lanes), which taxes every read in
+    # the group; 64 is right for shape-homogeneous batches like these.
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=64)
     bench_headline(sm, reads, pa)
     for fn in (lambda: bench_device_only(sm, reads, pa),
                bench_dna_realign,
@@ -438,6 +492,7 @@ def main():
                lambda: bench_vanilla_and_sm4(reads),
                bench_echelon,
                bench_signal_pipeline,
+               bench_msa,
                lambda: bench_hdp(reads)):
         try:
             fn()

@@ -122,3 +122,32 @@ def test_tpu_batch_align_fn_matches_per_pair():
         assert mA_b.chosen_pairwise_alignments == \
             mA_s.chosen_pairwise_alignments
         assert len(mA_b.aligned_pairs) > 0
+
+
+def test_poset_checker_matches_bfs_checker():
+    """The incremental `_Poset` closure accepts/rejects exactly the merges
+    the direct BFS DAG search does: randomized instances, identical final
+    column partitions (the greedy loop is deterministic given the rng, so
+    any decision divergence changes the partition)."""
+    for seed in range(8):
+        rng = random.Random(seed)
+        n_seqs = rng.randrange(2, 6)
+        lens = [rng.randrange(3, 14) for _ in range(n_seqs)]
+        frags = [SeqFrag("A" * l, i, i) for i, l in enumerate(lens)]
+        maps = []
+        for _ in range(rng.randrange(10, 60)):
+            s1, s2 = rng.sample(range(n_seqs), 2)
+            maps.append((rng.randrange(1, 10_000_000), s1,
+                         rng.randrange(lens[s1]), s2,
+                         rng.randrange(lens[s2])))
+
+        def partition(cols):
+            return sorted(sorted(m) for m in cols.members.values())
+
+        cols_p = make_columns_greedy(frags, maps, 0.05,
+                                     rng=random.Random(seed + 100),
+                                     consistency="poset")
+        cols_b = make_columns_greedy(frags, maps, 0.05,
+                                     rng=random.Random(seed + 100),
+                                     consistency="bfs")
+        assert partition(cols_p) == partition(cols_b)
