@@ -100,9 +100,12 @@ class WeightGraph:
             self.adj.setdefault(a, {})[b] = w
             self.adj.setdefault(b, {})[a] = w
 
-    def merge(self, columns: Columns, w: _Weight):
+    def merge(self, columns: Columns, w: _Weight, changed=None):
         """mergeColumns (impl/multipleAligner.c:214-270): merge w's columns,
-        averaging duplicate edges."""
+        averaging duplicate edges.  ``changed``, when given, collects the
+        weights whose avg was re-averaged — the only ones whose existing
+        heap entries go stale (transferred edges keep identity and avg,
+        so their old entries still resolve via find())."""
         a, b = w.a, w.b
         self.adj[a].pop(b, None)
         self.adj[b].pop(a, None)
@@ -118,6 +121,8 @@ class WeightGraph:
                 tot = existing.n + w2.n
                 existing.avg = (existing.avg * existing.n + w2.avg * w2.n) / tot
                 existing.n = tot
+                if changed is not None:
+                    changed.append(existing)
             else:
                 w2.a, w2.b = root, c
                 adj_root[c] = w2
@@ -206,6 +211,83 @@ class _Poset:
                 np.maximum(ge[v, :, y0:], inn[:, None], out=ge[v, :, y0:])
 
 
+class _NativePoset:
+    """C++ backend for `_Poset` (native/msa_columns.cc via ctypes): same
+    staircase closure with range-trimmed updates — only entries that
+    actually change are written (binary-searched bounds), where the numpy
+    backend rewrites whole prefixes/suffixes.  Pure integer arithmetic in
+    both, so accept/reject decisions are bit-identical."""
+
+    def __init__(self, lengths, lib):
+        import ctypes
+        self._ctypes = ctypes
+        self._lib = lib
+        arr = (ctypes.c_int64 * len(lengths))(*lengths)
+        self._h = lib.poset_new(len(lengths), arr)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.poset_free(self._h)
+            self._h = None
+
+    def _flat(self, mem):
+        c = self._ctypes
+        k = len(mem)
+        ss = (c.c_int32 * k)(*(m[0] for m in mem))
+        pp = (c.c_int32 * k)(*(m[1] for m in mem))
+        return k, ss, pp
+
+    def consistent(self, mem_a, mem_b):
+        ka, sa, pa = self._flat(mem_a)
+        kb, sb, pb = self._flat(mem_b)
+        return bool(self._lib.poset_consistent(self._h, ka, sa, pa,
+                                               kb, sb, pb))
+
+    def merge(self, mem_a, mem_b):
+        k, ss, pp = self._flat(mem_a + mem_b)
+        self._lib.poset_merge(self._h, k, ss, pp)
+
+
+_poset_lib = None
+_poset_lib_tried = False
+
+
+def _get_poset_lib():
+    global _poset_lib, _poset_lib_tried
+    if not _poset_lib_tried:
+        _poset_lib_tried = True
+        import ctypes
+
+        from ..native import load_library
+        lib = load_library("msa_columns")
+        if lib is not None:
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.poset_new.restype = ctypes.c_void_p
+            lib.poset_new.argtypes = [ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_int64)]
+            lib.poset_free.argtypes = [ctypes.c_void_p]
+            lib.poset_consistent.restype = ctypes.c_int
+            lib.poset_consistent.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                             i32p, i32p, ctypes.c_int,
+                                             i32p, i32p]
+            lib.poset_merge.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        i32p, i32p]
+        _poset_lib = lib
+    return _poset_lib
+
+
+def _make_poset(lengths, backend="auto"):
+    """Poset factory: "auto" picks the native C++ closure when the
+    toolchain can build it, else the numpy staircases."""
+    if backend in ("auto", "native"):
+        lib = _get_poset_lib()
+        if lib is not None:
+            return _NativePoset(lengths, lib)
+        if backend == "native":
+            raise RuntimeError("native msa_columns library unavailable")
+    return _Poset(lengths)
+
+
 def _columns_consistent(columns: Columns, ra, rb):
     """A merge of columns ra/rb keeps a valid partial-order alignment iff
     neither column strictly precedes the other (BFS over the successor DAG:
@@ -244,15 +326,24 @@ def make_columns_greedy(seq_frags, multiple_aligned_pairs, match_gamma,
     greedily merge the highest-weight consistent column pair.
 
     ``consistency`` picks the partial-order acceptance test: "poset"
-    (default) is the incremental `_Poset` closure; "bfs" is the direct
-    per-candidate DAG search (`_columns_consistent`) — same decisions,
-    O(columns) slower per candidate, kept for differential testing."""
+    (default) is the incremental closure (native C++ backend when the
+    toolchain can build it, numpy staircases otherwise — bit-identical
+    decisions; "poset-numpy" forces the numpy backend); "bfs" is the
+    direct per-candidate DAG search (`_columns_consistent`) — same
+    decisions, O(columns) slower per candidate, kept for differential
+    testing."""
     columns = Columns(seq_frags)
     graph = WeightGraph(columns, multiple_aligned_pairs, rng=rng)
-    poset = _Poset([f.length for f in seq_frags]) \
-        if consistency == "poset" else None
+    lengths = [f.length for f in seq_frags]
+    if consistency == "poset":
+        poset = _make_poset(lengths, "auto")
+    elif consistency == "poset-numpy":
+        poset = _Poset(lengths)
+    else:
+        poset = None
     heap = [(-w.avg, id(w), w) for w in graph.all_weights()]
     heapq.heapify(heap)
+    changed = []
     while heap:
         negw, _, w = heapq.heappop(heap)
         ra = columns.find(w.a)
@@ -268,8 +359,13 @@ def make_columns_greedy(seq_frags, multiple_aligned_pairs, match_gamma,
         if ok:
             if poset is not None:
                 poset.merge(columns.members[ra], columns.members[rb])
-            root = graph.merge(columns, w)
-            for w2 in graph.adj.get(root, {}).values():
+            # only re-averaged weights need a fresh heap entry: transferred
+            # edges keep identity and avg, so their old entries still
+            # resolve (find() follows the union) — re-pushing the whole
+            # adjacency made the heap O(merges x degree)
+            changed.clear()
+            graph.merge(columns, w, changed)
+            for w2 in changed:
                 heapq.heappush(heap, (-w2.avg, id(w2), w2))
         else:
             graph.adj.get(ra, {}).pop(rb, None)

@@ -144,10 +144,13 @@ def test_poset_checker_matches_bfs_checker():
         def partition(cols):
             return sorted(sorted(m) for m in cols.members.values())
 
-        cols_p = make_columns_greedy(frags, maps, 0.05,
-                                     rng=random.Random(seed + 100),
-                                     consistency="poset")
-        cols_b = make_columns_greedy(frags, maps, 0.05,
-                                     rng=random.Random(seed + 100),
-                                     consistency="bfs")
-        assert partition(cols_p) == partition(cols_b)
+        parts = {}
+        for mode in ("poset", "poset-numpy", "bfs"):
+            cols = make_columns_greedy(frags, maps, 0.05,
+                                       rng=random.Random(seed + 100),
+                                       consistency=mode)
+            parts[mode] = partition(cols)
+        # "poset" is the native C++ closure when the toolchain builds it,
+        # the numpy staircases otherwise — all three must agree
+        assert parts["poset"] == parts["bfs"]
+        assert parts["poset-numpy"] == parts["bfs"]
