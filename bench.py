@@ -11,6 +11,7 @@ Also emitted (BASELINE.md metric suite):
   dna_realign_alignments_per_sec — 5-state DNA batch (cPecanRealign)
   dna_em_estep_alignments_per_sec — cPecanEm E-step on the kernel
   signal_em_estep_reads_per_sec  — trainModels E-step on the kernel
+  msa_pairwise_alignments_per_sec — makeAlignment rounds on the kernel
   hdp_alignments_per_sec         — HDP-emission alignment (streamed)
 
 History (this machine, TPU v5e 1 chip, headline batch e2e):
