@@ -20,6 +20,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the f64 engine comparators compile one scan
+# per distinct read shape — cache them across test runs (gitignored dir,
+# same one bench.py uses for the TPU kernels)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pathlib
 

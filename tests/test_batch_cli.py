@@ -177,6 +177,7 @@ def test_run_batch_fast_vanilla(tmp_path, zymo_reference_seq, zymo_npread):
                                            inter)
 
 
+@pytest.mark.slow  # vanilla variant covers the fast tier
 def test_run_batch_fast_four_state(tmp_path, zymo_reference_seq,
                                    zymo_npread):
     """run_batch_fast with the fourState machine vs the scan run_batch on

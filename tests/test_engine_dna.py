@@ -82,6 +82,7 @@ def test_without_banding_api():
     assert got == {(0, 0), (1, 1), (2, 4), (3, 5)}
 
 
+@pytest.mark.slow  # randomized sweep: slow differential tier
 def test_banded_matches_unbanded_on_random_pairs():
     """Structural invariants like test_getAlignedPairs
     (tests/pairwiseAlignerTest.c:418-465): pairs unique, in range,

@@ -38,10 +38,13 @@ def _engine_single_window(sm, ref, events, l_x, l_y, anchors, params):
 
 @pytest.fixture(scope="module")
 def fixture_reads(template_model):
+    # 8 ragged shapes = one interpret-mode group; sizes kept small — the
+    # slow-tier randomized campaigns (test_fuzz_differential) cover large
+    # geometries, the fast tier covers the shape variety
     from tests.test_parallel import _synthetic_read
     rng = np.random.default_rng(5)
-    return [_synthetic_read(rng, template_model, n_ref=100 + 10 * i,
-                            n_events=90 + 12 * i) for i in range(8)]
+    return [_synthetic_read(rng, template_model, n_ref=72 + 8 * i,
+                            n_events=64 + 10 * i) for i in range(8)]
 
 
 def test_device_band_construction_matches_host(template_model):

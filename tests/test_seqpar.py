@@ -32,15 +32,26 @@ def _mesh(n):
     return Mesh(np.asarray(devices[:n]), ("x",))
 
 
+@pytest.fixture(scope="module")
+def strawman_want(problem):
+    """Engine comparators, computed once for all shard-count params."""
+    sm, ref, events, l_x, l_y = problem
+    params = AlignmentParams()
+    want = get_aligned_pairs_without_banding(sm, ref, events, l_x, l_y,
+                                             params)
+    from tests.test_pallas import _engine_single_window
+    exact = _engine_single_window(sm, ref, events, l_x, l_y, [], params)
+    return want, {(x, y): s for s, x, y in exact}
+
+
 @pytest.mark.parametrize("n_shards", [1, 4, 8])
-def test_seqpar_matches_unbanded_engine(problem, n_shards):
+def test_seqpar_matches_unbanded_engine(problem, strawman_want, n_shards):
     sm, ref, events, l_x, l_y = problem
     params = AlignmentParams()
     # decision-parity target: the reference-semantics unbanded path (its
     # scores carry the windowed-traceback total quirk,
     # impl/pairwiseAligner.c:1005-1015, so only the pair SET is compared)
-    want = get_aligned_pairs_without_banding(sm, ref, events, l_x, l_y,
-                                             params)
+    want, ws = strawman_want
     pairs, total = seqpar_posteriors(sm, ref, events, l_x, l_y,
                                      mesh=_mesh(n_shards),
                                      threshold=params.threshold,
@@ -50,9 +61,6 @@ def test_seqpar_matches_unbanded_engine(problem, n_shards):
     assert got_set == want_set, got_set ^ want_set
     assert np.isfinite(total)
     # score parity vs the exact-total engine comparator
-    from tests.test_pallas import _engine_single_window
-    exact = _engine_single_window(sm, ref, events, l_x, l_y, [], params)
-    ws = {(x, y): s for s, x, y in exact}
     for s, x, y in pairs:
         if (x, y) in ws:
             assert abs(s - ws[(x, y)]) <= 100, (x, y, s, ws[(x, y)])
@@ -97,14 +105,21 @@ def dna_problem():
     return StateMachine5(), seq_x, seq_y, len(seq_x), len(seq_y)
 
 
+@pytest.fixture(scope="module")
+def dna_want(dna_problem):
+    sm, seq_x, seq_y, l_x, l_y = dna_problem
+    return get_aligned_pairs_without_banding(sm, seq_x, seq_y, l_x, l_y,
+                                             AlignmentParams(threshold=0.2))
+
+
 @pytest.mark.parametrize("n_shards", [1, 4, 8])
-def test_seqpar_dna5_matches_unbanded_engine(dna_problem, n_shards):
+def test_seqpar_dna5_matches_unbanded_engine(dna_problem, dna_want,
+                                             n_shards):
     """DNA 5-state (the chromosome-scale realignment family) x-sharded vs
     the unbanded engine."""
     sm, seq_x, seq_y, l_x, l_y = dna_problem
     params = AlignmentParams(threshold=0.2)
-    want = get_aligned_pairs_without_banding(sm, seq_x, seq_y, l_x, l_y,
-                                             params)
+    want = dna_want
     pairs, total = seqpar_posteriors(sm, seq_x, seq_y, l_x, l_y,
                                      mesh=_mesh(n_shards),
                                      threshold=params.threshold,
@@ -143,16 +158,27 @@ def _engine_expectations(sm, x_in, y_in, l_x, l_y, anchors, params):
                          compute_expectations=True)["expectations"]
 
 
-@pytest.mark.parametrize("n_shards", [1, 4, 8])
-def test_seqpar_strawman_expectations_match_engine(problem, n_shards):
+@pytest.fixture(scope="module")
+def strawman_engine_exp(problem):
+    sm, ref, events, l_x, l_y = problem
+    params = AlignmentParams()
+    anchors = [(j, j) for j in range(10, min(l_x, l_y) - 10, 12)]
+    return anchors, _engine_expectations(sm, ref, events, l_x, l_y,
+                                         anchors, params)
+
+
+@pytest.mark.parametrize(
+    "n_shards", [1, pytest.param(4, marks=pytest.mark.slow), 8])
+def test_seqpar_strawman_expectations_match_engine(problem,
+                                                   strawman_engine_exp,
+                                                   n_shards):
     """x-sharded EM expectations (psum-merged accumulators) vs the engine
     single-window expectation pass — EM on one long alignment can now
     split across chips."""
     from cpecan_tpu.parallel.seqpar import seqpar_expectations
     sm, ref, events, l_x, l_y = problem
     params = AlignmentParams()
-    anchors = [(j, j) for j in range(10, min(l_x, l_y) - 10, 12)]
-    eng = _engine_expectations(sm, ref, events, l_x, l_y, anchors, params)
+    anchors, eng = strawman_engine_exp
     got = seqpar_expectations(sm, ref, events, l_x, l_y,
                               mesh=_mesh(n_shards), anchors=anchors,
                               expansion=params.diagonal_expansion,
@@ -167,14 +193,21 @@ def test_seqpar_strawman_expectations_match_engine(problem, n_shards):
                                atol=1e-7)
 
 
+@pytest.fixture(scope="module")
+def dna_engine_exp(dna_problem):
+    sm, seq_x, seq_y, l_x, l_y = dna_problem
+    anchors = [(j, j) for j in range(10, min(l_x, l_y) - 10, 12)]
+    return anchors, _engine_expectations(sm, seq_x, seq_y, l_x, l_y,
+                                         anchors, AlignmentParams())
+
+
 @pytest.mark.parametrize("n_shards", [1, 8])
-def test_seqpar_dna5_expectations_match_engine(dna_problem, n_shards):
+def test_seqpar_dna5_expectations_match_engine(dna_problem, dna_engine_exp,
+                                               n_shards):
     from cpecan_tpu.parallel.seqpar import seqpar_expectations
     sm, seq_x, seq_y, l_x, l_y = dna_problem
     params = AlignmentParams()
-    anchors = [(j, j) for j in range(10, min(l_x, l_y) - 10, 12)]
-    eng = _engine_expectations(sm, seq_x, seq_y, l_x, l_y, anchors,
-                               params)
+    anchors, eng = dna_engine_exp
     got = seqpar_expectations(sm, seq_x, seq_y, l_x, l_y,
                               mesh=_mesh(n_shards), anchors=anchors,
                               expansion=params.diagonal_expansion,
