@@ -413,7 +413,8 @@ def bench_msa():
     dt = _median_time(run)
     _emit("msa_pairwise_alignments_per_sec", jobs / dt,
           f"pairwise alignments/s inside makeAlignment (16x 1kb seqs, "
-          f"2 spanning trees, {jobs} jobs/round, batched kernel rounds)")
+          f"2 spanning trees, {jobs} jobs total across both rounds, "
+          f"batched kernel rounds)")
 
 
 def bench_hdp(reads):

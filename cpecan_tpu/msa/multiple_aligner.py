@@ -224,6 +224,8 @@ class _NativePoset:
         self._lib = lib
         arr = (ctypes.c_int64 * len(lengths))(*lengths)
         self._h = lib.poset_new(len(lengths), arr)
+        if not self._h:  # native allocation failed (returns NULL)
+            raise MemoryError("native poset allocation failed")
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -282,8 +284,14 @@ def _make_poset(lengths, backend="auto"):
     if backend in ("auto", "native"):
         lib = _get_poset_lib()
         if lib is not None:
-            return _NativePoset(lengths, lib)
-        if backend == "native":
+            try:
+                return _NativePoset(lengths, lib)
+            except MemoryError:
+                if backend == "native":
+                    raise
+                # fall through: numpy raises a catchable MemoryError only
+                # if the allocation genuinely cannot be satisfied
+        elif backend == "native":
             raise RuntimeError("native msa_columns library unavailable")
     return _Poset(lengths)
 

@@ -49,7 +49,16 @@ void *poset_new(int n, const int64_t *lengths) {
     int64_t total = (int64_t)n * n * lmax;
     p->le = (int32_t *)malloc(total * sizeof(int32_t));
     p->ge = (int32_t *)malloc(total * sizeof(int32_t));
-    p->scratch = (int32_t *)malloc(2 * n * sizeof(int32_t));
+    p->scratch = (int32_t *)malloc(2 * (size_t)n * sizeof(int32_t));
+    if (!p->le || !p->ge || !p->scratch) {
+        // NULL handle: the caller falls back to the numpy backend (which
+        // raises a catchable MemoryError) instead of faulting here
+        free(p->le);
+        free(p->ge);
+        free(p->scratch);
+        delete p;
+        return nullptr;
+    }
     std::fill(p->le, p->le + total, BIG);
     std::fill(p->ge, p->ge + total, (int32_t)-1);
     for (int u = 0; u < n; ++u) {

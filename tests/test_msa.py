@@ -144,13 +144,22 @@ def test_poset_checker_matches_bfs_checker():
         def partition(cols):
             return sorted(sorted(m) for m in cols.members.values())
 
+        from cpecan_tpu.msa.multiple_aligner import _get_poset_lib
+
+        # without a toolchain "poset" silently falls back to numpy and the
+        # native comparison would be a tautology — surface that as a skip
+        # (checked once here rather than skipping the whole test, so the
+        # numpy-vs-bfs differential still runs everywhere)
+        native_ok = _get_poset_lib() is not None
         parts = {}
         for mode in ("poset", "poset-numpy", "bfs"):
             cols = make_columns_greedy(frags, maps, 0.05,
                                        rng=random.Random(seed + 100),
                                        consistency=mode)
             parts[mode] = partition(cols)
-        # "poset" is the native C++ closure when the toolchain builds it,
-        # the numpy staircases otherwise — all three must agree
-        assert parts["poset"] == parts["bfs"]
         assert parts["poset-numpy"] == parts["bfs"]
+        assert parts["poset"] == parts["bfs"]
+    if not native_ok:
+        import pytest
+        pytest.skip("native msa_columns unavailable — only the numpy "
+                    "backend was differentially tested")
