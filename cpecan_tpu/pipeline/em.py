@@ -443,10 +443,9 @@ def expectation_maximisation(sequences, alignments, options: EmOptions,
         from ..ops.pallas_fb import Dna5PallasAligner
         # shared across iterations (and across trials when the caller
         # passes one in): compiled kernels + feature caches hit
-        # group=8: the expectation E-step runs the X-frame backward body,
-        # whose VMEM stack scales with R*X (R=32 at X=1024 already exceeds
-        # the 16M scoped-vmem limit); alignment-only aligners default to 32
-        aligner = Dna5PallasAligner(options.realign_params, group=8,
+        # default group (32 compiled / 8 interpret): the r3 band-local
+        # expectation backward runs at the full posterior-path group size
+        aligner = Dna5PallasAligner(options.realign_params,
                                     interpret=jax.default_backend() == "cpu")
     elif options.engine != "pallas":
         aligner = None
@@ -517,8 +516,7 @@ def expectation_maximisation_trials(sequences, alignments, options: EmOptions,
         from ..ops.pallas_fb import Dna5PallasAligner
         # one aligner across every trial: the trials share shapes, so the
         # per-trial kernel retrace/recompile would dominate
-        # group=8: see the note above (exp kernel VMEM scales with R*X)
-        aligner = Dna5PallasAligner(options.realign_params, group=8,
+        aligner = Dna5PallasAligner(options.realign_params,
                                     interpret=jax.default_backend() == "cpu")
     if options.input_model is not None or not options.random_start:
         return expectation_maximisation(sequences, alignments, options, rng,

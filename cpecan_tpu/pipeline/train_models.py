@@ -162,9 +162,9 @@ def train(reference_path, read_guide_pairs, template_model, complement_model,
                                      VanillaPallasAligner)
         cls = (VanillaPallasAligner if options.sm_type == "vanilla"
                else StrawmanPallasAligner)
-        # group=8: the expectation E-step runs the X-frame backward body,
-        # whose VMEM stack scales with R*X; 6kb reads at R=32 do not fit
-        pallas_aligner = cls(options.params, group=8,
+        # default group (32 compiled / 8 interpret): the r3 band-local
+        # expectation backward fits multi-kb reads at the full group size
+        pallas_aligner = cls(options.params,
                              interpret=jax.default_backend() == "cpu")
 
     t_merged = c_merged = None
