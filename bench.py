@@ -33,6 +33,7 @@ import sys
 import time
 
 import numpy as np
+from cpecan_tpu.fixtures import fixture_path
 
 FIRST_RECORDED = 10.2  # alignments/s, r1 XLA-scan engine on this chip
 
@@ -246,7 +247,7 @@ def bench_vanilla_and_sm4(reads):
 
     try:
         model = load_pore_model(
-            "/root/reference/models/template_median68pA.model")
+            fixture_path("template_median68pA.model"))
     except OSError:
         return
     bench_family("vanilla", VanillaPallasAligner,
@@ -264,7 +265,7 @@ def bench_echelon():
 
     try:
         model = load_pore_model(
-            "/root/reference/models/template_median68pA.model")
+            fixture_path("template_median68pA.model"))
     except OSError:
         return
     rng = np.random.default_rng(6)
@@ -323,10 +324,10 @@ def bench_signal_pipeline():
     from cpecan_tpu.ops.pallas_fb import StrawmanPallasAligner
     from cpecan_tpu.pipeline.signal_align_batch import run_batch_fast
 
-    REF = "/root/reference/tests/test_npReads/ZymoRef.txt"
-    NPREAD = "/root/reference/tests/test_npReads/ZymoC_ch_1_file1.npRead"
-    TMODEL = "/root/reference/models/template_median68pA.model"
-    CMODEL = "/root/reference/models/complement_median68pA_pop2.model"
+    REF = fixture_path("ZymoRef.txt")
+    NPREAD = fixture_path("ZymoC_ch_1_file1.npRead")
+    TMODEL = fixture_path("template_median68pA.model")
+    CMODEL = fixture_path("complement_median68pA_pop2.model")
     if not os.path.exists(NPREAD):
         return
     n_reads = 64
@@ -425,7 +426,7 @@ def bench_hdp(reads):
     from cpecan_tpu.ops.pallas_fb import HdpPallasAligner
     from cpecan_tpu.io.poremodel import load_pore_model
 
-    model_path = "/root/reference/models/template_median68pA.model"
+    model_path = fixture_path("template_median68pA.model")
     try:
         model = load_pore_model(model_path)
     except OSError:

@@ -18,6 +18,7 @@ import os
 import sys
 
 from ..io.cigar import parse_cigar_line
+from ..fixtures import fixture_path
 
 
 def _load_guides(path):
@@ -85,10 +86,9 @@ def signal_align_batch_main(argv=None):
                    help="scan: per-read reference-faithful engine; pallas: "
                         "batched TPU wavefront kernel (threeState only)")
     p.add_argument("--templateModel", "-T",
-                   default="/root/reference/models/template_median68pA.model")
+                   default=fixture_path("template_median68pA.model"))
     p.add_argument("--complementModel", "-C",
-                   default="/root/reference/models/"
-                           "complement_median68pA_pop2.model")
+                   default=fixture_path("complement_median68pA_pop2.model"))
     args = p.parse_args(argv)
 
     from ..io.fasta import read_fasta_file

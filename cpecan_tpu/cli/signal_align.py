@@ -27,6 +27,7 @@ from ..models.state_machines import (StateMachine3SignalStrawman,
                                      StateMachine3Vanilla, StateMachine4,
                                      StateMachineEchelon)
 from .realign import convert_alignment_to_anchor_pairs, rebase_coordinates
+from ..fixtures import fixture_path
 
 
 def build_state_machine(model_file, npp, sm_type, strand, hmm_file=None):
@@ -246,9 +247,9 @@ def make_parser():
     p.add_argument("-e", "--echelon", action="store_true")
     p.add_argument("-b", "--banded", action="store_true")
     p.add_argument("-T", "--templateModel",
-                   default="/root/reference/models/template_median68pA.model")
+                   default=fixture_path("template_median68pA.model"))
     p.add_argument("-C", "--complementModel",
-                   default="/root/reference/models/complement_median68pA_pop2.model")
+                   default=fixture_path("complement_median68pA_pop2.model"))
     p.add_argument("-L", "--readLabel", default="read")
     p.add_argument("-q", "--npRead", required=True)
     p.add_argument("-r", "--reference", required=True)

@@ -21,6 +21,12 @@ This is the scaling path for alignments too long for one chip (or one
 chip's HBM): memory and compute per chip drop by the mesh size while the
 per-diagonal collective is a single tiny ppermute.  Decision parity with
 the single-chip engine is tested on a virtual CPU mesh.
+
+Precision: posteriors default to float32 (decision parity holds in f32);
+EM expectations default to float64 **when jax x64 is enabled** (the
+engine-parity tests run under x64) and fall back to float32 otherwise —
+requesting f64 without x64 would silently truncate with a UserWarning
+per call site, so `_resolve_dtype` picks the widest honest dtype.
 """
 
 from functools import partial
@@ -37,6 +43,13 @@ from ..models import kmers as K
 # guarded Gaussian, and the per-machine window-frame updates — identical
 # to the Pallas wavefront path
 from ..ops.pallas_fb import NEG, _Dna5Spec, _StrawmanSpec, _gauss  # noqa: F401
+
+
+def _resolve_dtype(dtype):
+    """None -> f64 under x64 (test/parity runs), else f32 (device runs)."""
+    if dtype is not None:
+        return dtype
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 def _san(vals):
@@ -191,6 +204,7 @@ def _seqpar_run(sm, seq_x, y_input, l_x, l_y, mesh, dtype, anchors,
     """Shared fwd/bwd shard_map driver.  Returns (posts [ND+1, X], total,
     n_diag) and, with_exp, (trans [S,S], acc [NACC, X])."""
     ad = _adapter_for(sm)
+    dtype = _resolve_dtype(dtype)
     spec = ad.spec
     S = spec.S
     NS = spec.NS
@@ -402,7 +416,7 @@ def seqpar_posteriors(sm, ref_seq, events, l_x, l_y, mesh=None,
 
 
 def seqpar_expectations(sm, ref_seq, events, l_x, l_y, mesh=None,
-                        dtype=jnp.float64, anchors=None, expansion=None):
+                        dtype=None, anchors=None, expansion=None):
     """EM expectations for one (long) alignment, x-sharded over ``mesh``.
 
     Same accumulators as the Pallas in-kernel EM path, computed as a

@@ -32,12 +32,14 @@ import pathlib
 
 import pytest
 
+from cpecan_tpu.fixtures import fixture_path
+
 REFERENCE = pathlib.Path("/root/reference")
 
 
 @pytest.fixture(scope="session")
 def zymo_reference_seq():
-    path = REFERENCE / "tests/test_npReads/ZymoRef.txt"
+    path = pathlib.Path(fixture_path("ZymoRef.txt"))
     if not path.exists():
         pytest.skip("Zymo reference fixture unavailable")
     return path.read_text().splitlines()[0]
@@ -46,7 +48,7 @@ def zymo_reference_seq():
 @pytest.fixture(scope="session")
 def zymo_npread():
     from cpecan_tpu.io.npread import load_npread
-    path = REFERENCE / "tests/test_npReads/ZymoC_ch_1_file1.npRead"
+    path = pathlib.Path(fixture_path("ZymoC_ch_1_file1.npRead"))
     if not path.exists():
         pytest.skip("Zymo npRead fixture unavailable")
     return load_npread(str(path))
@@ -55,7 +57,7 @@ def zymo_npread():
 @pytest.fixture(scope="session")
 def template_model():
     from cpecan_tpu.io.poremodel import load_pore_model
-    path = REFERENCE / "models/template_median68pA.model"
+    path = pathlib.Path(fixture_path("template_median68pA.model"))
     if not path.exists():
         pytest.skip("template model fixture unavailable")
     return load_pore_model(str(path))

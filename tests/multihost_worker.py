@@ -28,6 +28,7 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+from cpecan_tpu.fixtures import fixture_path
 
 
 def main():
@@ -59,7 +60,7 @@ def main():
     # feeds only its local shard, like each jobTree node sees its own
     # alignment shard
     model = load_pore_model(
-        "/root/reference/models/template_median68pA.model")
+        fixture_path("template_median68pA.model"))
     rng = np.random.default_rng(5)
     reads = [_synthetic_read(rng, model, n_ref=60, n_events=50)
              for _ in range(4)]

@@ -4,16 +4,17 @@ equivalents)."""
 import os
 import random
 import shutil
+from cpecan_tpu.fixtures import fixture_path
 
 import pytest
 
 from cpecan_tpu.cli.batch import (em_main, signal_align_batch_main,
                                   train_models_main)
 
-REF = "/root/reference/tests/test_npReads/ZymoRef.txt"
-NPREAD = "/root/reference/tests/test_npReads/ZymoC_ch_1_file1.npRead"
-TMODEL = "/root/reference/models/template_median68pA.model"
-CMODEL = "/root/reference/models/complement_median68pA_pop2.model"
+REF = fixture_path("ZymoRef.txt")
+NPREAD = fixture_path("ZymoC_ch_1_file1.npRead")
+TMODEL = fixture_path("template_median68pA.model")
+CMODEL = fixture_path("complement_median68pA_pop2.model")
 
 
 def test_em_cli(tmp_path):

@@ -6,6 +6,7 @@ the reference's `pLikelihood <= likelihood * 0.95` assertion.
 """
 
 import math
+from cpecan_tpu.fixtures import fixture_path
 
 import numpy as np
 import pytest
@@ -119,7 +120,7 @@ def test_hdp_hmm_em(zymo_reference_seq, zymo_npread, template_model):
     events = descale_events(zymo_npread.template_events, tp.scale, tp.shift)
     filtered = _zymo_template_anchors(zymo_reference_seq, zymo_npread, params)
 
-    model_path = "/root/reference/models/template_median68pA.model"
+    model_path = fixture_path("template_median68pA.model")
     nhdp = flat_hdp_model("ACGT", KMER_LENGTH, 1.0, 1.0, 40.0, 100.0, 100,
                           model_path)
     rng = np.random.default_rng(17)

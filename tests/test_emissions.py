@@ -11,6 +11,7 @@ from cpecan_tpu.models.emissions import (log_bivariate_gauss_pdf,
                                          log_gauss_pdf, log_inv_gauss_pdf,
                                          poisson_posterior_prob)
 from cpecan_tpu.models.kmers import kmer_index
+from cpecan_tpu.fixtures import fixture_path
 
 
 def _normal_pdf(x, mu, sigma):
@@ -32,7 +33,7 @@ def test_log_gauss_pdf_matches_brute_force():
     # against the real template model's AAAAAA row
     from cpecan_tpu.io.poremodel import load_pore_model
     model = load_pore_model(
-        "/root/reference/models/template_median68pA.model")
+        fixture_path("template_median68pA.model"))
     k = kmer_index("AAAAAA")
     mu, sd = model.match_model[k, 0], model.match_model[k, 1]
     got = float(log_gauss_pdf(62.784241, mu, sd))
@@ -57,7 +58,7 @@ def test_two_distribution_pdf():
     from cpecan_tpu.io.poremodel import (LEVEL_MEAN, LEVEL_SD, NOISE_LAMBDA,
                                          NOISE_MEAN, load_pore_model)
     model = load_pore_model(
-        "/root/reference/models/template_median68pA.model")
+        fixture_path("template_median68pA.model"))
     k = kmer_index("AAAAAA")
     row = model.match_model[k]
     level, noise = 62.784241, 0.664989

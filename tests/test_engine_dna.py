@@ -15,6 +15,7 @@ from cpecan_tpu.logmath import log_add
 from cpecan_tpu.models.state_machines import StateMachine5
 from cpecan_tpu.ops.band import full_band, unbanded_schedule
 from cpecan_tpu.ops.engine import backward_pass, forward_pass, make_control
+from cpecan_tpu.fixtures import fixture_path
 
 
 SX, SY = "AGCG", "AGTTCG"
@@ -131,7 +132,7 @@ def test_edge_cases():
     from cpecan_tpu.models.state_machines import StateMachine3SignalStrawman
 
     model = load_pore_model(
-        "/root/reference/models/template_median68pA.model")
+        fixture_path("template_median68pA.model"))
     sm = StateMachine3SignalStrawman(model)
     params = AlignmentParams()
     assert get_aligned_pairs_without_banding(

@@ -7,6 +7,7 @@ must agree up to a tiny f32-vs-f64 near-threshold fringe."""
 import numpy as np
 import jax.numpy as jnp
 import pytest
+from cpecan_tpu.fixtures import fixture_path
 
 from cpecan_tpu.align import AlignmentParams
 from cpecan_tpu.io.poremodel import load_pore_model
@@ -28,7 +29,7 @@ def test_fuzz_kernels_match_engine():
     rng = np.random.default_rng(11)
     iters = 8
     model = load_pore_model(
-        "/root/reference/models/template_median68pA.model")
+        fixture_path("template_median68pA.model"))
 
 
 

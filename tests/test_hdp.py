@@ -4,6 +4,7 @@ data."""
 
 import math
 import os
+from cpecan_tpu.fixtures import fixture_path
 
 import numpy as np
 import pytest
@@ -14,7 +15,7 @@ from cpecan_tpu.hdp.nanopore_hdp import (NanoporeHDP, flat_hdp_model_2,
                                          kmer_id, multiset_number,
                                          word_id_to_multiset_id)
 
-FIXTURE_DIR = "/root/reference/tests/test_hdp"
+FIXTURE_DIR = os.path.dirname(fixture_path("test_hdp/data.txt"))
 
 
 def _norm_gamma_joint_log_likelihood(mus, taus, mu_0, nu, alpha, beta):
@@ -131,7 +132,7 @@ def test_hdp_serialization_roundtrip(sampled_hdp, tmp_path):
 
 
 def test_nhdp_build_and_sample(template_model, tmp_path):
-    model_path = "/root/reference/models/template_median68pA.model"
+    model_path = fixture_path("template_median68pA.model")
     nhdp = flat_hdp_model_2("ACGT", 6, 1.0, 1.0, 1.0, 1.0,
                             30.0, 90.0, 100, model_path)
     assert nhdp.hdp.num_dps == 4 ** 6 + 1
@@ -161,7 +162,7 @@ def test_hdp_state_machine_alignment(template_model):
     from cpecan_tpu.models.state_machines import StateMachine3Hdp
     from cpecan_tpu.models.kmers import seq_to_kmer_indices
 
-    model_path = "/root/reference/models/template_median68pA.model"
+    model_path = fixture_path("template_median68pA.model")
     nhdp = flat_hdp_model_2("ACGT", 6, 1.0, 1.0, 1.0, 1.0,
                             30.0, 110.0, 120, model_path)
     rng = np.random.default_rng(1)

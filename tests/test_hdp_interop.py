@@ -4,6 +4,7 @@ impl/nanopore_hdp.c:828-867) and cross-HDP distribution comparisons
 
 import io
 import os
+from cpecan_tpu.fixtures import fixture_path
 
 import numpy as np
 import pytest
@@ -18,7 +19,7 @@ from cpecan_tpu.hdp.text_io import (deserialize_hdp_text,
                                     deserialize_nhdp_text,
                                     serialize_hdp_text, serialize_nhdp_text)
 
-MODEL = "/root/reference/models/template_median68pA.model"
+MODEL = fixture_path("template_median68pA.model")
 
 
 def _tiny_sampled_hdp(seed, sample_gamma=False):

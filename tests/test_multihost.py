@@ -4,6 +4,7 @@ conftest's XLA_FLAGS)."""
 
 import numpy as np
 import pytest
+from cpecan_tpu.fixtures import fixture_path
 
 import jax
 
@@ -87,7 +88,7 @@ def test_two_process_distributed_em(tmp_path):
     from cpecan_tpu.models.state_machines import StateMachine3SignalStrawman
     from tests.test_parallel import _synthetic_read
     model = load_pore_model(
-        "/root/reference/models/template_median68pA.model")
+        fixture_path("template_median68pA.model"))
     rng = np.random.default_rng(5)
     reads = [_synthetic_read(rng, model, n_ref=60, n_events=50)
              for _ in range(4)]

@@ -6,6 +6,7 @@ single-window plan over the banded geometry.
 """
 
 import dataclasses
+from cpecan_tpu.fixtures import fixture_path
 
 import numpy as np
 import pytest
@@ -422,7 +423,7 @@ def test_hdp_pallas_matches_engine(template_model):
     from cpecan_tpu.models.state_machines import StateMachine3Hdp
     from cpecan_tpu.ops.pallas_fb import HdpPallasAligner
 
-    model_path = "/root/reference/models/template_median68pA.model"
+    model_path = fixture_path("template_median68pA.model")
     nhdp = flat_hdp_model_2("ACGT", 6, 1.0, 1.0, 1.0, 1.0,
                             30.0, 110.0, 120, model_path)
     rng = np.random.default_rng(2)
@@ -645,7 +646,7 @@ def test_hdp_stream_builds_agree(template_model):
     from cpecan_tpu.ops.pallas_fb import HdpPallasAligner
 
     rng = np.random.default_rng(2)
-    model_path = "/root/reference/models/template_median68pA.model"
+    model_path = fixture_path("template_median68pA.model")
     ref = "".join(rng.choice(list("ACGT"), 60))
     kidx = seq_to_kmer_indices(ref)
     kmers = [ref[p:p + 6] for p in range(len(kidx)) for _ in (0, 1)]

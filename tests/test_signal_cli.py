@@ -8,11 +8,12 @@ import pytest
 
 from cpecan_tpu.cli.signal_align import main as signal_main
 from cpecan_tpu.ops.blast import LASTZ_ARGS, find_lastz
+from cpecan_tpu.fixtures import fixture_path
 
-REF = "/root/reference/tests/test_npReads/ZymoRef.txt"
-NPREAD = "/root/reference/tests/test_npReads/ZymoC_ch_1_file1.npRead"
-TMODEL = "/root/reference/models/template_median68pA.model"
-CMODEL = "/root/reference/models/complement_median68pA_pop2.model"
+REF = fixture_path("ZymoRef.txt")
+NPREAD = fixture_path("ZymoC_ch_1_file1.npRead")
+TMODEL = fixture_path("template_median68pA.model")
+CMODEL = fixture_path("complement_median68pA_pop2.model")
 
 
 def _guide_cigar(tmp_path, zymo_reference_seq, zymo_npread):

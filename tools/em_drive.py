@@ -16,6 +16,7 @@ from cpecan_tpu.io.poremodel import load_pore_model
 from cpecan_tpu.models.state_machines import StateMachine3SignalStrawman
 from cpecan_tpu.ops.pallas_fb import StrawmanPallasAligner
 from test_parallel import _synthetic_read
+from cpecan_tpu.fixtures import fixture_path
 
 
 def main():
@@ -24,7 +25,7 @@ def main():
     group = int(sys.argv[3])
     n_reads = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     model = load_pore_model(
-        "/root/reference/models/template_median68pA.model")
+        fixture_path("template_median68pA.model"))
     rng = np.random.default_rng(7)
     reads = [_synthetic_read(rng, model, n_ref=n_ref + 16 * i,
                              n_events=n_events + 16 * i)

@@ -17,10 +17,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REF = "/root/reference/tests/test_npReads/ZymoRef.txt"
-NPREAD = "/root/reference/tests/test_npReads/ZymoC_ch_1_file1.npRead"
-TMODEL = "/root/reference/models/template_median68pA.model"
-CMODEL = "/root/reference/models/complement_median68pA_pop2.model"
+from cpecan_tpu.fixtures import fixture_path
+
+REF = fixture_path("ZymoRef.txt")
+NPREAD = fixture_path("ZymoC_ch_1_file1.npRead")
+TMODEL = fixture_path("template_median68pA.model")
+CMODEL = fixture_path("complement_median68pA_pop2.model")
 
 
 def main():

@@ -58,6 +58,7 @@ from cpecan_tpu.parallel.batch import BatchedAligner  # noqa: E402
 from cpecan_tpu.parallel.mesh import (  # noqa: E402
     make_data_mesh, sharded_align_fn)
 from test_parallel import _synthetic_read  # noqa: E402
+from cpecan_tpu.fixtures import fixture_path
 
 
 def _median(fn, reps):
@@ -73,7 +74,7 @@ def main():
     total_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     model = load_pore_model(
-        "/root/reference/models/template_median68pA.model")
+        fixture_path("template_median68pA.model"))
     rng = np.random.default_rng(5)
     reads = [_synthetic_read(rng, model, n_ref=220, n_events=190)
              for _ in range(total_batch)]

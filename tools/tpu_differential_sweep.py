@@ -18,6 +18,7 @@ import numpy as np
 
 def main():
     sys.path.insert(0, ".")
+    from cpecan_tpu.fixtures import fixture_path
     import jax
     import jax.numpy as jnp
     try:
@@ -42,7 +43,7 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     rng = np.random.default_rng(23)
     model = load_pore_model(
-        "/root/reference/models/template_median68pA.model")
+        fixture_path("template_median68pA.model"))
 
     def engine_run(sm, ref, events, l_x, l_y, anchors, params,
                    expectations=False):
