@@ -2390,20 +2390,35 @@ class EchelonPallasAligner(StrawmanPallasAligner):
                                       np.float32)),
         ))
 
-    def _assemble_fn(self, C, Y):
-        key = ("asm", C, Y)
+    def _assemble_fn(self, C, Y, scaled=False):
+        """Jitted on-device feature assembly.  With ``scaled``, per-read
+        scale params sp [B, 5] apply emissions_signal_scaleModel
+        (impl/stateMachine.c:632-674) to the five per-offset match-model
+        gathers — (lvl_mu, lvl_sd, nz_mu, lambda) become (mu*scale+shift,
+        sd*var, nz*scale_sd, lambda*var_sd); the gap/extra-event model and
+        durations are read-independent (the reference scales only the
+        match model)."""
+        key = ("asm", C, Y, scaled)
         if key in self._cache:
             return self._cache[key]
         from ..constants import NUM_OF_KMERS
 
-        def assemble(kx5, la4, validm, ev, mm4, gm4):
+        def assemble(kx5, la4, validm, ev, sp, mm4, gm4):
             rows = []
             for i in range(5):
                 ki = kx5[:, i].astype(jnp.int32)
                 valid = ki <= NUM_OF_KMERS
                 safe = jnp.clip(ki, 0, NUM_OF_KMERS - 1)
-                rows += [jnp.where(valid, mm4[safe, c], 0.0)
-                         for c in range(4)]
+                if sp is None:
+                    rows += [jnp.where(valid, mm4[safe, c], 0.0)
+                             for c in range(4)]
+                else:
+                    lvl_mu = mm4[safe, 0] * sp[:, 0:1] + sp[:, 1:2]
+                    lvl_sd = mm4[safe, 1] * sp[:, 2:3]
+                    nz_mu = mm4[safe, 2] * sp[:, 3:4]
+                    lam = mm4[safe, 3] * sp[:, 4:5]
+                    rows += [jnp.where(valid, r, 0.0)
+                             for r in (lvl_mu, lvl_sd, nz_mu, lam)]
             k0 = kx5[:, 0].astype(jnp.int32)
             v0 = k0 <= NUM_OF_KMERS
             s0 = jnp.clip(k0, 0, NUM_OF_KMERS - 1)
@@ -2436,7 +2451,11 @@ class EchelonPallasAligner(StrawmanPallasAligner):
             yf = yf.at[:, 7, C - n + 1:C + 1].set(ev[:, :n, 1][:, ::-1])
             return xf, yf
 
-        fn = jax.jit(assemble)
+        if scaled:
+            fn = jax.jit(assemble)
+        else:
+            fn = jax.jit(lambda kx5, la4, validm, ev, mm4, gm4:
+                         assemble(kx5, la4, validm, ev, None, mm4, gm4))
         self._cache[key] = fn
         return fn
 
@@ -2444,20 +2463,29 @@ class EchelonPallasAligner(StrawmanPallasAligner):
         from ..io.poremodel import kmer_skip_bin_table
 
         mm4, gm4 = self._model_tables(sm)
+        sp = prep.get("sp")
         # skip transition logs via the machine's own coupling (echelon A:
-        # alpha == beta from the per-kmer bins; echelonB: global scalars)
-        bins = kmer_skip_bin_table(sm.model.match_model,
-                                   prep["kxp"].astype(np.int64),
-                                   prep["kx5"][:, 0].astype(np.int64))
+        # alpha == beta from the per-kmer bins; echelonB: global scalars).
+        # With per-read scale params the bins come from the per-read
+        # SCALED level means (getKmerSkipBin on the scaled model) without
+        # materializing a scaled table per read.
+        bins = kmer_skip_bin_table(
+            sm.model.match_model,
+            prep["kxp"].astype(np.int64),
+            prep["kx5"][:, 0].astype(np.int64),
+            scale=None if sp is None else sp[:, 0:1].astype(np.float64),
+            shift=None if sp is None else sp[:, 1:2].astype(np.float64))
         a_mx = sm.skip_bin_probs[bins]
         la_mx, la_mh, la_xx, la_xh = sm._skip_logs(a_mx)
         la4 = np.stack([la_mx, la_mh, la_xx, la_xh], axis=1)
         la4 = np.maximum(np.nan_to_num(la4, neginf=NEG), NEG).astype(
             np.float32)
-        return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256)(
-            jax.device_put(prep["kx5"]), jax.device_put(la4),
-            jax.device_put(prep["validm"]), jax.device_put(prep["ev"]),
-            mm4, gm4)
+        return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256,
+                                 scaled=sp is not None)(
+            *([jax.device_put(prep["kx5"]), jax.device_put(la4),
+               jax.device_put(prep["validm"]), jax.device_put(prep["ev"])]
+              + ([jax.device_put(sp)] if sp is not None else [])
+              + [mm4, gm4]))
 
 
 def extract_pairs_from_pallas(out, read_idx, threshold):

@@ -75,12 +75,16 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                    threshold=0.01, params=None, group=None, compact_k=4096,
                    log=print, interpret=None, aligner=None,
                    sm_type="threeState", chunk=64):
-    """Batched signalAlign through the Pallas wavefront kernel
-    (sm_type 'threeState', 'vanilla' — the reference's default machine —
-    or 'fourState'):
+    """Batched signalAlign through the Pallas wavefront kernel — all four
+    vanillaAlign machines ('threeState', 'vanilla' — the reference's
+    default — 'fourState', and 'echelon'), one driver like the
+    reference's (vanillaAlign.c:550-601):
     both strands of every read align in a handful of kernel launches with
     per-read model scaling on device, then the standard 15-column
-    posterior tsvs are written per read.
+    posterior tsvs are written per read.  Echelon's multi-state posterior
+    windows expand host-side (state j emits j+1 pairs per cell,
+    extract_echelon_pairs); its per-read scaling covers both the match
+    model and the skip bins (recomputed from per-read scaled level means).
 
     Reads are dispatched in ``chunk``-sized slices and drained one chunk
     behind: chunk k's tsvs are written on the host while chunk k+1 is on
@@ -111,19 +115,21 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
     from ..io.poremodel import load_pore_model, scale_model
     from ..models.hmm import ContinuousPairHmm, VanillaHmm
     from ..models.state_machines import (StateMachine3SignalStrawman,
-                                         StateMachine3Vanilla, StateMachine4)
+                                         StateMachine3Vanilla, StateMachine4,
+                                         StateMachineEchelon)
     from ..ops.anchors import filter_to_remove_overlap
-    from ..ops.pallas_fb import (Sm4PallasAligner, StrawmanPallasAligner,
-                                 VanillaPallasAligner, extract_pairs_auto)
+    from ..ops.pallas_fb import (EchelonPallasAligner, Sm4PallasAligner,
+                                 StrawmanPallasAligner,
+                                 VanillaPallasAligner,
+                                 extract_echelon_pairs, extract_pairs_auto)
 
     aligner_cls = {"threeState": StrawmanPallasAligner,
                    "vanilla": VanillaPallasAligner,
-                   "fourState": Sm4PallasAligner}
+                   "fourState": Sm4PallasAligner,
+                   "echelon": EchelonPallasAligner}
     if sm_type not in aligner_cls:
-        # echelon batches need per-read scaled model/skip tables the
-        # shared-table kernel path doesn't carry; run_batch covers it
         raise ValueError("run_batch_fast supports sm_type 'threeState', "
-                         "'vanilla' or 'fourState' (echelon: run_batch)")
+                         "'vanilla', 'fourState' or 'echelon'")
     params = params or AlignmentParams(threshold=threshold)
     os.makedirs(out_dir, exist_ok=True)
     with open(reference_path) as fh:
@@ -265,6 +271,12 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                 model, skip_bin_probs=skip_bins,
                 strand="template" if strand == TEMPLATE
                 else "complement"), model
+        if sm_type == "echelon":
+            if hmm_file:
+                # the reference defines no echelon EM (its expectation
+                # hook is NULL, impl/stateMachine.c:1831)
+                raise ValueError("echelon has no trainable HMM to load")
+            return StateMachineEchelon(model), model
         p = gap_x = None
         if hmm_file:
             hmm = ContinuousPairHmm.load(hmm_file)
@@ -300,9 +312,17 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
             with open(tsv, "w") as fh:
                 for strand in (TEMPLATE, COMPLEMENT):
                     out = outs[strand]
-                    ap = extract_pairs_auto(
-                        out, rel, out["prep"]["bands"][rel].n_diag,
-                        params.threshold, as_array=True).reshape(-1, 3)
+                    if sm_type == "echelon":
+                        # multi-state windows: state j expands to j+1
+                        # pairs (diagonalCalculationMultiPosteriorMatchProbs)
+                        ap = np.asarray(extract_echelon_pairs(
+                            out, rel, out["prep"]["bands"][rel].n_diag,
+                            params.threshold),
+                            np.int64).reshape(-1, 3)
+                    else:
+                        ap = extract_pairs_auto(
+                            out, rel, out["prep"]["bands"][rel].n_diag,
+                            params.threshold, as_array=True).reshape(-1, 3)
                     # tsv rows ordered by x+y = diagonal (stable: ties
                     # keep extraction order, matching list.sort)
                     ap = ap[np.argsort(ap[:, 1] + ap[:, 2],

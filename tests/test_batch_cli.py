@@ -219,8 +219,51 @@ def test_run_batch_fast_four_state(tmp_path, zymo_reference_seq,
                                            inter)
 
 
-def test_run_batch_fast_echelon_rejected():
+@pytest.mark.slow  # engine-echelon comparator is the costly part
+def test_run_batch_fast_echelon(tmp_path, zymo_reference_seq, zymo_npread):
+    """run_batch_fast with the echelon machine vs the scan run_batch on
+    the Zymo read — the last of the four vanillaAlign machines through
+    the one fast driver (vanillaAlign.c:550-601).  Echelon's multi-state
+    posteriors expand to (x+n, y) pairs host-side; per-read scaling
+    covers the match model and the skip bins on device."""
+    from cpecan_tpu.pipeline.signal_align_batch import run_batch, \
+        run_batch_fast
+
+    guide = _zymo_guides(tmp_path, zymo_reference_seq, zymo_npread)
+    qname = guide.split()[1]
+    reads = tmp_path / "reads"
+    reads.mkdir()
+    shutil.copy(NPREAD, reads / f"{qname}.npRead")
+    pairs = [(str(reads / f"{qname}.npRead"), guide)]
+
+    fast_out = tmp_path / "faste"
+    results = run_batch_fast(REF, pairs, str(fast_out),
+                             template_model_file=TMODEL,
+                             complement_model_file=CMODEL,
+                             log=lambda m: None, sm_type="echelon",
+                             threshold=0.15)
+    assert len(results) == 1 and results[0][1]
+    fast_rows = (fast_out / f"{qname}.tsv").read_text().splitlines()
+    assert len(fast_rows) > 1000
+    assert all(len(r.split("\t")) == 15 for r in fast_rows[:50])
+
+    scan_out = tmp_path / "scane"
+    run_batch(REF, pairs, str(scan_out), sm_type="echelon", banded=True,
+              threshold=0.15, log=lambda m: None)
+    scan_rows = (scan_out / f"{qname}.tsv").read_text().splitlines()
+
+    def pair_set(rows):
+        return {(r.split("\t")[1], r.split("\t")[4], r.split("\t")[5])
+                for r in rows}
+    fast_set = pair_set(fast_rows)
+    scan_set = pair_set(scan_rows)
+    inter = len(fast_set & scan_set)
+    assert inter >= 0.96 * len(scan_set), (len(fast_set), len(scan_set),
+                                           inter)
+
+
+def test_run_batch_fast_unknown_rejected():
     from cpecan_tpu.pipeline.signal_align_batch import run_batch_fast
-    with pytest.raises(ValueError, match="echelon"):
+    with pytest.raises(ValueError, match="sm_type"):
         run_batch_fast(REF, [], "/tmp/x", template_model_file=TMODEL,
-                       complement_model_file=CMODEL, sm_type="echelon")
+                       complement_model_file=CMODEL, sm_type="sixState")

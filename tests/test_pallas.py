@@ -415,6 +415,56 @@ def test_echelon_pallas_matches_engine(template_model):
         assert len(got_set & want_set) >= 0.97 * max(len(want_set), 1)
 
 
+def test_echelon_pallas_scale_params(template_model):
+    """Echelon with per-read on-device model scaling (scale_params) vs the
+    engine on host-scaled models: the match-model gathers AND the kmer
+    skip bins must follow each read's scale/shift (the bins derive from
+    scaled level-mean differences, impl/stateMachine.c:389-420), so one
+    unscaled table serves a whole batch — the run_batch_fast echelon
+    path."""
+    from cpecan_tpu.align import get_aligned_pairs_using_anchors
+    from cpecan_tpu.io.poremodel import scale_model
+    from cpecan_tpu.models.kmers import seq_to_kmer_indices
+    from cpecan_tpu.models.state_machines import StateMachineEchelon
+    from cpecan_tpu.ops.pallas_fb import (EchelonPallasAligner,
+                                          extract_echelon_pairs)
+
+    rng = np.random.default_rng(16)
+    mm = template_model.match_model
+    reads, sps = [], []
+    for r in range(3):
+        n = 40 + 12 * r
+        ref = "".join(rng.choice(list("ACGT"), n))
+        l_x = n - 5
+        kidx = seq_to_kmer_indices(ref)
+        sp = [1.0 + 0.05 * r, 2.0 * r - 1.0, 1.0 + 0.03 * r,
+              1.0 - 0.02 * r, 1.0 + 0.01 * r]
+        sps.append(sp)
+        events = np.zeros((l_x, 3))
+        for i in range(l_x):
+            events[i, 0] = mm[kidx[i], 0] * sp[0] + sp[1] + rng.normal(0, 0.5)
+            events[i, 1] = max(mm[kidx[i], 2] * sp[3], 0.1)
+            events[i, 2] = 0.01
+        anchors = [(j, j) for j in range(6, l_x - 6, 9)]
+        reads.append((ref, events, l_x, l_x, anchors))
+
+    params = AlignmentParams(threshold=0.15)
+    pa = EchelonPallasAligner(params, interpret=True)
+    out = pa.run(sm=StateMachineEchelon(template_model), reads=reads,
+                 scale_params=np.asarray(sps, np.float32))
+    for i, (ref, events, l_x, l_y, anchors) in enumerate(reads):
+        sm_scaled = StateMachineEchelon(scale_model(template_model,
+                                                    *sps[i]))
+        want = get_aligned_pairs_using_anchors(sm_scaled, ref, events,
+                                               l_x, l_y, anchors, params)
+        got = extract_echelon_pairs(out, i, out["prep"]["bands"][i].n_diag,
+                                    params.threshold)
+        want_set = {(x, y) for _, x, y in want}
+        got_set = {(x, y) for _, x, y in got}
+        assert len(got_set ^ want_set) <= max(2, len(want_set) // 50), \
+            (i, got_set ^ want_set)
+
+
 @pytest.mark.slow
 def test_hdp_pallas_matches_engine(template_model):
     """SM3-HDP machine with streamed density emissions vs the engine."""
