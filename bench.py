@@ -219,23 +219,30 @@ def bench_signal_em(sm, reads):
           "accumulators)")
 
 
-def bench_family(name, cls, sm, reads):
-    """Chunked batch e2e for one spec family on the strawman workload."""
+def bench_family(name, cls, sm, reads, group=64, compact_k=1024):
+    """Chunked batch e2e for one spec family on the strawman workload —
+    same r3 recipe as the headline path: group=64 posterior packing,
+    chunk=64 with async per-chunk D2H (chunk k's pair download rides
+    under chunk k+1's host prep and kernels)."""
     from cpecan_tpu.align import AlignmentParams
 
-    pa = cls(AlignmentParams(), interpret=False)
-    chunk = 128
+    pa = cls(AlignmentParams(), interpret=False, group=group)
+    chunk = 64
 
     def run():
         outs = []
         for i in range(0, len(reads), chunk):
-            outs.append(pa.run(sm, reads[i:i + chunk], compact_k=1024))
+            o = pa.run(sm, reads[i:i + chunk], compact_k=compact_k)
+            o["compact"][0].copy_to_host_async()
+            o["compact"][1].copy_to_host_async()
+            outs.append(o)
         return [np.asarray(o["compact"][0]) for o in outs]
 
     run()
     dt = _median_time(run)
     _emit(f"{name}_alignments_per_sec", len(reads) / dt,
-          f"alignments/s (batch={len(reads)}, chunked x{chunk})")
+          f"alignments/s (batch={len(reads)}, chunked x{chunk}, "
+          f"group={group}, async D2H)")
 
 
 def bench_vanilla_and_sm4(reads):
@@ -366,6 +373,30 @@ def bench_signal_pipeline():
         _emit("signal_pipeline_reads_per_sec", n_reads / dt,
               "reads/s (fast5-less signalAlign pipeline: npRead parse + "
               "guide anchors + both strands + posterior tsvs)")
+
+        # echelon through the same fast driver (r4: the last machine to
+        # join run_batch_fast; multi-state extraction dominates its host
+        # side, so it gets its own metric rather than skewing the
+        # threeState one)
+        from cpecan_tpu.ops.pallas_fb import EchelonPallasAligner
+        e_pairs = pairs[:32]
+        e_out = os.path.join(tmpdir, "out_echelon")
+        pa_e = EchelonPallasAligner(AlignmentParams(threshold=0.15),
+                                    interpret=False, group=32)
+
+        def run_e():
+            return run_batch_fast(REF, e_pairs, e_out,
+                                  template_model_file=TMODEL,
+                                  complement_model_file=CMODEL,
+                                  log=lambda m: None, aligner=pa_e,
+                                  sm_type="echelon", threshold=0.15)
+
+        res_e = run_e()
+        assert len(res_e) == len(e_pairs)
+        dt_e = _median_time(run_e)
+        _emit("signal_pipeline_echelon_reads_per_sec", len(e_pairs) / dt_e,
+              "reads/s (signalAlign pipeline, echelon machine, "
+              "multi-state posterior expansion)")
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 

@@ -1175,6 +1175,27 @@ def _kx_from_codes(codes):
     return jnp.where(ok, kx, N_SENTINEL)
 
 
+def _vanilla_kmer_pair(kx, xp):
+    """getKmer2 skip-bin kmer pair from the per-column kmer indices
+    kx[x] = kmer at ref position x-1 (_kx_from_codes): position
+    pos(x) = x-2 for x >= 2 else 0 and its successor
+    (StateMachine3Vanilla.x_skip_bins / sequence_getKmer2,
+    impl/pairwiseAligner.c:336-341), so kxp[x] = kx[x-1] (x >= 2, else
+    kx[1]) and kxn[x] = kx[x] (x >= 2, else kx[2]).  ``xp`` is jnp or np
+    (device build and its host twin in the EM finalize share this).
+
+    One knowingly benign difference from an all_idx gather with a
+    clipped position: kxp at the out-of-band column x = l_x + 1 is a
+    valid kmer here instead of the sentinel — that column is outside
+    every band (band x <= l_x), so no posterior or expectation reads
+    it."""
+    rep = (jnp.repeat if xp is jnp else np.repeat)
+    cat = (jnp.concatenate if xp is jnp else np.concatenate)
+    kxp = cat([rep(kx[:, 1:2], 2, 1), kx[:, 1:-1]], 1)
+    kxn = cat([rep(kx[:, 2:3], 2, 1), kx[:, 2:]], 1)
+    return kxp, kxn
+
+
 def _kx_from_codes_np(codes):
     """Host twin of _kx_from_codes (same contract, numpy) — used by the
     expectation finalize, where the codes are already host-resident."""
@@ -1784,25 +1805,18 @@ class VanillaPallasAligner(StrawmanPallasAligner):
         return np.maximum(arr, NEG).astype(np.float32)
 
     def _feature_inputs(self, reads, X):
-        """Two kmer-index arrays per read (getKmer2 position and its
-        successor — the skip-bin pair, StateMachine3Vanilla.x_skip_bins)
-        plus events; skip bins and transitions derive from them on device."""
-        from ..constants import N_SENTINEL
-        from ..models.state_machines import (_getkmer2_positions,
-                                             _kmer_idx_at)
-
+        """u8 base codes + u16 quantized events (the headline path's wire
+        format — the host->device tunnel is the slow resource).  The
+        getKmer2 skip-bin kmer pair (kxp, kxn) derives from the codes ON
+        DEVICE (_vanilla_kmer_pair), a 4x smaller x-side upload than the
+        two int16 kmer-index arrays it replaces."""
         B = len(reads)
-        kxp = np.full((B, X), N_SENTINEL, dtype=np.int16)
-        kxn = np.full((B, X), N_SENTINEL, dtype=np.int16)
         max_ev = max(r[1].shape[0] for r in reads)
         ev = np.zeros((B, max_ev + 1, 2), np.float32)
-        for r, (ref, events, l_x, _l_y, _a) in enumerate(reads):
-            pos = _getkmer2_positions(l_x)
-            kxp[r, : l_x + 1] = _kmer_idx_at(ref, pos)
-            kxn[r, : l_x + 1] = _kmer_idx_at(ref, pos + 1)
+        for r, (_ref, events, _l_x, _l_y, _a) in enumerate(reads):
             ev[r, 1:1 + len(events), :] = events[:, :2]
         evq, evs = _quantize_events(ev)
-        return dict(kxp=kxp, kxn=kxn, ev=ev, evq=evq, evs=evs)
+        return dict(ev=ev, codes=_base_codes(reads, X), evq=evq, evs=evs)
 
     def _model_tables(self, sm):
         from ..io.poremodel import (LEVEL_MEAN, LEVEL_SD, NOISE_MEAN,
@@ -1822,8 +1836,9 @@ class VanillaPallasAligner(StrawmanPallasAligner):
             return self._cache[key]
         from ..constants import NUM_OF_KMERS
 
-        def assemble(kxp, kxn, evq, evs, sp, mm4, gm4, skip60, t_m2y):
+        def assemble(codes, evq, evs, sp, mm4, gm4, skip60, t_m2y):
             ev = _dequantize_events(evq, evs)
+            kxp, kxn = _vanilla_kmer_pair(_kx_from_codes(codes), jnp)
             kx = kxn.astype(jnp.int32)
             valid = kx <= NUM_OF_KMERS
             safe = jnp.clip(kx, 0, NUM_OF_KMERS - 1)
@@ -1878,9 +1893,9 @@ class VanillaPallasAligner(StrawmanPallasAligner):
         if scaled:
             fn = jax.jit(assemble)
         else:
-            fn = jax.jit(lambda kxp, kxn, evq, evs, mm4, gm4, skip60,
+            fn = jax.jit(lambda codes, evq, evs, mm4, gm4, skip60,
                          t_m2y:
-                         assemble(kxp, kxn, evq, evs, None, mm4, gm4,
+                         assemble(codes, evq, evs, None, mm4, gm4,
                                   skip60, t_m2y))
         self._cache[key] = fn
         return fn
@@ -1888,7 +1903,7 @@ class VanillaPallasAligner(StrawmanPallasAligner):
     def _device_features(self, sm, prep):
         mm4, gm4, skip60 = self._model_tables(sm)
         sp = prep.get("sp")
-        args = [jax.device_put(prep["kxp"]), jax.device_put(prep["kxn"]),
+        args = [jax.device_put(prep["codes"]),
                 jax.device_put(prep["evq"]), jax.device_put(prep["evs"])]
         if sp is not None:
             args.append(jax.device_put(sp))
@@ -1920,8 +1935,7 @@ class VanillaPallasAligner(StrawmanPallasAligner):
         from ..constants import NUM_OF_KMERS
         B, R, X = prep["B"], prep["R"], prep["X"]
         Bp = prep["Bp"]
-        kxp = prep["kxp"].astype(np.int64)
-        kxn = prep["kxn"].astype(np.int64)
+        kxp, kxn = _vanilla_kmer_pair(_kx_from_codes_np(prep["codes"]), np)
         mm0 = np.asarray(sm.model.match_model[:, 0], np.float32)
         if "sp" in prep:
             scale = prep["sp"][:, 0:1].astype(np.float32)
