@@ -1240,6 +1240,11 @@ class _PallasAlignerBase:
         self.interpret = interpret
         self.group = group if group is not None else (8 if interpret else 32)
         self._cache = {}
+        # upload hook: mesh runs swap in a sharded device_put so every
+        # per-read host array lands pre-sharded over the ('data',) axis
+        # (feature assembly and band construction then SPMD-partition
+        # under jit with no resharding); model tables stay replicated
+        self._dput = jax.device_put
 
     # subclass hooks -----------------------------------------------------
     def _scalars(self, sm):
@@ -1278,9 +1283,9 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         sp = prep.get("sp")
         return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256,
                                  scaled=sp is not None)(
-            *([jax.device_put(prep["codes"]), jax.device_put(prep["evq"]),
+            *([self._dput(prep["codes"]), self._dput(prep["evq"]),
                jax.device_put(prep["evs"])]
-              + ([jax.device_put(sp)] if sp is not None else [])
+              + ([self._dput(sp)] if sp is not None else [])
               + [mm, gm, gapx]))
 
     def _feature_inputs(self, reads, X):
@@ -1374,7 +1379,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         ))
 
     def prepare(self, sm, reads, ragged_right=False, scale_params=None,
-                shape_hint=None, bands=None):
+                shape_hint=None, bands=None, pad_groups_to=None):
         from ..ops.band import make_bands
 
         p = self.params
@@ -1384,6 +1389,9 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                                [r[3] for r in reads], p.diagonal_expansion)
         B = len(reads)
         G = _round_up(B, R) // R
+        if pad_groups_to:
+            # mesh runs shard whole groups: G must divide the device count
+            G = _round_up(G, pad_groups_to)
         Bp = G * R
         X = _round_up(max(r[2] for r in reads) + 2, 128)
         ND = max(b.n_diag for b in bands)
@@ -1541,7 +1549,14 @@ class StrawmanPallasAligner(_PallasAlignerBase):
 
     def run(self, sm, reads, ragged_right=False, ragged_left=False,
             compact_k=4096, expectations=False, scale_params=None,
-            shape_hint=None, defer_expectations=False, bands=None):
+            shape_hint=None, defer_expectations=False, bands=None,
+            mesh=None):
+        if mesh is not None:
+            return self._run_mesh(
+                sm, reads, mesh=mesh, ragged_right=ragged_right,
+                ragged_left=ragged_left, compact_k=compact_k,
+                expectations=expectations, scale_params=scale_params,
+                shape_hint=shape_hint, bands=bands)
         prep = self.prepare(sm, reads, ragged_right=ragged_right,
                             scale_params=scale_params,
                             shape_hint=shape_hint, bands=bands)
@@ -1602,6 +1617,153 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             out["compact"] = _compact_jit(posts, min(compact_k, ND * W))
         out.update(posteriors=posts, totals=totals, prep=prep)
         return out
+
+    def _run_mesh(self, sm, reads, *, mesh, ragged_right=False,
+                  ragged_left=False, compact_k=4096, expectations=False,
+                  scale_params=None, shape_hint=None, bands=None):
+        """Data-parallel run over a 1-axis device `mesh`: the fast-path
+        equivalent of the reference's per-read process fan-out
+        (scripts/signalAlign.py:101-141, scripts/trainModels.py:176-209).
+
+        Read groups shard over the mesh axis: every per-read host upload
+        lands pre-sharded (NamedSharding on the leading read/group dim),
+        feature assembly and band construction SPMD-partition under jit,
+        and the Pallas fwd/bwd kernels run per-device under shard_map on
+        that device's groups.  Posterior runs also compact per device
+        (top-k never crosses chips).  Expectation runs reduce the
+        in-kernel EM accumulators ON DEVICE — per-family
+        `_exp_device_reduce` folds reads locally and `lax.psum`s across
+        the mesh — so the E-step result leaving the device is one tiny
+        replicated pytree (`out["expectations_reduced"]`) regardless of
+        batch size, ready for the M-step / multihost controller.
+        """
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if getattr(self.spec, "STREAMED", False):
+            raise NotImplementedError(
+                "streamed (HDP) specs are not mesh-sharded yet; use the "
+                "single-device run or shard batches across processes")
+        axis = mesh.axis_names[0]
+        n_dev = int(np.prod(mesh.devices.shape))
+        shard_reads = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        old_dput = self._dput
+        self._dput = lambda x: jax.device_put(x, shard_reads)
+        try:
+            prep = self.prepare(sm, reads, ragged_right=ragged_right,
+                                scale_params=scale_params,
+                                shape_hint=shape_hint, bands=bands,
+                                pad_groups_to=n_dev)
+            X, ND, C, W = prep["X"], prep["ND"], prep["C"], prep["W"]
+            R = prep["R"]
+            scal = jax.device_put(self._scalars(sm,
+                                                ragged_left=ragged_left),
+                                  repl)
+            fwd_fn, bwd_fn, bwd_exp_fn = self._fns(X, ND, C, W)
+            xf, yf = self._device_features(sm, prep)
+            basef, widthf, seedf, raggedf = self._device_bands(
+                prep["NDp"], prep["anch"].shape[1])(
+                self._dput(prep["anch"]), self._dput(prep["meta"]))
+            win3 = self._dput(prep["win"][:, None, :])
+        finally:
+            self._dput = old_dput
+
+        out = {"prep": prep}
+        if expectations:
+            if getattr(self.spec, "EXP_LANES", None) is None:
+                raise NotImplementedError(
+                    f"{self.spec.__name__} does not support in-kernel "
+                    "expectations; use the scan engine "
+                    "(get_expectations_using_anchors)")
+            B, Bp = prep["B"], prep["Bp"]
+            valid = np.zeros(Bp, np.float32)
+            valid[:B] = 1.0
+            n_diag = np.zeros(Bp, np.float32)
+            n_diag[:B] = [b.n_diag for b in prep["bands"]]
+            aux = self._exp_reduce_aux(sm, prep)
+            aux_keys = tuple(sorted(aux))
+            aux_vals = [jax.device_put(aux[k], shard_reads)
+                        for k in aux_keys]
+            valid_d = jax.device_put(valid, shard_reads)
+            n_diag_d = jax.device_put(n_diag, shard_reads)
+
+            key = ("meshexp", X, ND, C, W, R, axis, n_dev, aux_keys,
+                   self.spec.__name__)
+            if key not in self._cache:
+                na = len(aux_keys)
+
+                def go(scal, win3, xf, yf, basef, widthf, seedf, raggedf,
+                       valid, n_diag, *aux_vals):
+                    fwd = fwd_fn(scal, win3, xf, yf, basef, widthf)
+                    _posts, totals, trans, gapx = bwd_exp_fn(
+                        scal, win3, xf, yf, basef, widthf, seedf,
+                        raggedf, fwd)
+                    return self._exp_device_reduce(
+                        trans, gapx, totals, dict(zip(aux_keys, aux_vals)),
+                        valid, n_diag, axis)
+
+                in_specs = ((P(),) + (P(axis),) * (9 + na))
+                self._cache[key] = jax.jit(shard_map(
+                    go, mesh=mesh, in_specs=in_specs, out_specs=P(),
+                    check_vma=False))
+            out["expectations_reduced"] = self._cache[key](
+                scal, win3, xf, yf, basef, widthf, seedf, raggedf,
+                valid_d, n_diag_d, *aux_vals)
+            return out
+
+        k_eff = min(compact_k, ND * W)
+        key = ("meshpost", X, ND, C, W, R, axis, n_dev, k_eff,
+               self.spec.__name__)
+        if key not in self._cache:
+            def go(scal, win3, xf, yf, basef, widthf, seedf, raggedf):
+                fwd = fwd_fn(scal, win3, xf, yf, basef, widthf)
+                posts, totals = bwd_fn(scal, win3, xf, yf, basef, widthf,
+                                       seedf, raggedf, fwd)
+                cv, ci = compact_posteriors(posts, k_eff)
+                return posts, totals, cv, ci
+
+            self._cache[key] = jax.jit(shard_map(
+                go, mesh=mesh, in_specs=(P(),) + (P(axis),) * 7,
+                out_specs=(P(axis),) * 4, check_vma=False))
+        posts, totals, cv, ci = self._cache[key](
+            scal, win3, xf, yf, basef, widthf, seedf, raggedf)
+        out.update(posteriors=posts, totals=totals, compact=(cv, ci))
+        return out
+
+    def _exp_reduce_aux(self, sm, prep):
+        """Host-side per-read metadata the mesh EM reduce needs on device
+        (sharded like the reads).  Strawman/SM4: per-column kmer ids for
+        the kmer-gap segment sum (the host finalize's np.add.at)."""
+        from ..constants import NUM_OF_KMERS
+        kx = _kx_from_codes_np(prep["codes"])
+        return {"kx": np.clip(kx, 0, NUM_OF_KMERS + 1).astype(np.int32)}
+
+    def _exp_device_reduce(self, trans, gapx, totals, aux, valid, n_diag,
+                           axis):
+        """Device-side E-step reduction for a mesh shard: fold this
+        shard's reads into the family's expectation pytree, then psum
+        across the mesh — the collective replacement for the reference's
+        expectation-file merge (trainModels add_and_norm_expectations).
+        Mirrors _exp_finalize exactly (same accumulators, same kmer
+        scatter), minus the per-read breakdown."""
+        from ..constants import NUM_OF_KMERS
+        S = self.spec.S
+        G, R = trans.shape[0], trans.shape[1]
+        GR = G * R
+        X = gapx.shape[-1]
+        tr = trans[:, :, :S * S].reshape(GR, S * S)
+        gc = gapx[:, 0].reshape(GR, X)
+        tot = totals.reshape(GR, -1)[:, 0]
+        v = valid.astype(jnp.float32)
+        red = {
+            "trans": (tr * v[:, None]).sum(0).reshape(S, S),
+            "kmer_gap": jnp.zeros((NUM_OF_KMERS + 2,), jnp.float32).at[
+                aux["kx"].reshape(GR * X)].add(
+                (gc * v[:, None]).reshape(GR * X)),
+            "likelihood": jnp.sum(tot * n_diag * v),
+        }
+        return {k: jax.lax.psum(val, axis) for k, val in red.items()}
 
     def _reduce_expectations(self, sm, prep, trans, gapx, totals):
         """Fused device reduce + ONE D2H round trip (the tunnel charges
@@ -1903,10 +2065,10 @@ class VanillaPallasAligner(StrawmanPallasAligner):
     def _device_features(self, sm, prep):
         mm4, gm4, skip60 = self._model_tables(sm)
         sp = prep.get("sp")
-        args = [jax.device_put(prep["codes"]),
-                jax.device_put(prep["evq"]), jax.device_put(prep["evs"])]
+        args = [self._dput(prep["codes"]),
+                self._dput(prep["evq"]), jax.device_put(prep["evs"])]
         if sp is not None:
-            args.append(jax.device_put(sp))
+            args.append(self._dput(sp))
         return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256,
                                  scaled=sp is not None)(
             *args, mm4, gm4, skip60, np.float32(sm.t_m_to_y_not_x))
@@ -1925,16 +2087,38 @@ class VanillaPallasAligner(StrawmanPallasAligner):
             self._cache[key] = jax.jit(fn)
         return self._cache[key](gapx, totals)
 
-    def _exp_finalize(self, sm, prep, flat):
-        """Vanilla EM: per-column beta/alpha posterior masses scattered to
-        the 60 skip bins (vanillaHmm kmer-skip expectations,
-        impl/continuousHmm.c:410-426).  Bins recomputed host-side with
-        EXACTLY the device assembly's arithmetic (f32, scaled means with
-        shift, invalid kmers -> 0.0 unscaled) so boundary deltas land in
-        the same bin the kernel's transitions used."""
+    def _exp_reduce_aux(self, sm, prep):
+        """Mesh EM reduce metadata: the per-column skip-bin ids, computed
+        with the host twin of the device assembly's arithmetic (see
+        _host_bins)."""
+        return {"bins": self._host_bins(sm, prep).astype(np.int32)}
+
+    def _exp_device_reduce(self, trans, gapx, totals, aux, valid, n_diag,
+                           axis):
+        """Vanilla mesh EM reduce: beta/alpha per-column masses scattered
+        to the 60 skip bins on device, then psum'd (vanillaHmm kmer-skip
+        expectations, impl/continuousHmm.c:410-426)."""
+        G, R = gapx.shape[0], gapx.shape[2]
+        GR = G * R
+        X = gapx.shape[-1]
+        beta = gapx[:, 0].reshape(GR, X)
+        alpha = gapx[:, 1].reshape(GR, X)
+        tot = totals.reshape(GR, -1)[:, 0]
+        v = valid.astype(jnp.float32)
+        b = aux["bins"].reshape(GR * X)
+        skip = jnp.zeros((60,), jnp.float32)
+        skip = skip.at[b].add((beta * v[:, None]).reshape(GR * X))
+        skip = skip.at[b + 30].add((alpha * v[:, None]).reshape(GR * X))
+        red = {"skip_bins": skip,
+               "likelihood": jnp.sum(tot * n_diag * v)}
+        return {k: jax.lax.psum(val, axis) for k, val in red.items()}
+
+    def _host_bins(self, sm, prep):
+        """Per-column skip-bin ids with EXACTLY the device assembly's
+        arithmetic (f32, scaled means with shift, invalid kmers -> 0.0
+        unscaled) so boundary deltas land in the same bin the kernel's
+        transitions used."""
         from ..constants import NUM_OF_KMERS
-        B, R, X = prep["B"], prep["R"], prep["X"]
-        Bp = prep["Bp"]
         kxp, kxn = _vanilla_kmer_pair(_kx_from_codes_np(prep["codes"]), np)
         mm0 = np.asarray(sm.model.match_model[:, 0], np.float32)
         if "sp" in prep:
@@ -1950,7 +2134,16 @@ class VanillaPallasAligner(StrawmanPallasAligner):
                             mm0[safe] * scale + shift)
 
         d = np.abs(mean(kxn) - mean(kxp))
-        bins = np.minimum((d / np.float32(0.5)).astype(np.int64), 29)
+        return np.minimum((d / np.float32(0.5)).astype(np.int64), 29)
+
+    def _exp_finalize(self, sm, prep, flat):
+        """Vanilla EM: per-column beta/alpha posterior masses scattered to
+        the 60 skip bins (vanillaHmm kmer-skip expectations,
+        impl/continuousHmm.c:410-426).  Bins from _host_bins (device
+        arithmetic parity)."""
+        B, R, X = prep["B"], prep["R"], prep["X"]
+        Bp = prep["Bp"]
+        bins = self._host_bins(sm, prep)
         gapx_h = flat[:Bp, :2 * X].reshape(Bp, 2, X).astype(np.float64)
         skip = np.zeros((Bp, 60))
         rows = np.repeat(np.arange(Bp)[:, None], X, axis=1)
@@ -2002,7 +2195,7 @@ class HdpPallasAligner(StrawmanPallasAligner):
                 return xf, yf
 
             self._cache[key] = jax.jit(assemble)
-        return self._cache[key](jax.device_put(prep["codes"]), gapx_t)
+        return self._cache[key](self._dput(prep["codes"]), gapx_t)
 
     def _hdp_tables(self, sm):
         def build(sm):
@@ -2301,7 +2494,7 @@ class Dna5PallasAligner(StrawmanPallasAligner):
             ev[r, 1:1 + l_y, 0] = by
             ev[r, 1:1 + l_y, 1] = gapy5_h[by]
         return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256)(
-            jax.device_put(prep["bx"]), jax.device_put(ev), match5, gapx5)
+            self._dput(prep["bx"]), self._dput(ev), match5, gapx5)
 
     def _exp_dispatch(self, prep, trans, gapx, totals):
         """DNA EM reduce (cell_updateExpectations,
@@ -2339,6 +2532,33 @@ class Dna5PallasAligner(StrawmanPallasAligner):
             "emis": emis,
             "likelihood": tot * n_diag,
         }
+
+    def _exp_reduce_aux(self, sm, prep):
+        """Mesh EM reduce metadata: per-column x base indices for the
+        emission contraction (N columns excluded via the 4-wide
+        one-hot)."""
+        return {"bx": np.asarray(prep["bx"], np.int32)}
+
+    def _exp_device_reduce(self, trans, gapx, totals, aux, valid, n_diag,
+                           axis):
+        """DNA 5-state mesh EM reduce (cell_updateExpectations,
+        impl/pairwiseAligner.c:423-441): same contraction as
+        _exp_dispatch, folded over this shard's reads and psum'd — the
+        collective replacement for cPecanEm's expectation-file merge."""
+        G, R = trans.shape[0], trans.shape[1]
+        GR = G * R
+        X = gapx.shape[-1]
+        v = valid.astype(jnp.float32)
+        tr = (trans[:, :, :25].reshape(GR, 25) * v[:, None]).sum(0)
+        acc = gapx.transpose(0, 2, 1, 3).reshape(GR, 5, 4, X)
+        bx = aux["bx"].reshape(GR, X)
+        ohx = (bx[:, :, None] == jnp.arange(4)[None, None, :]).astype(
+            jnp.float32)
+        emis = jnp.einsum("bsyx,bxk,b->sky", acc, ohx, v)
+        tot = totals.reshape(GR, -1)[:, 0]
+        red = {"trans": tr.reshape(5, 5), "emis": emis,
+               "likelihood": jnp.sum(tot * n_diag * v)}
+        return {k: jax.lax.psum(val, axis) for k, val in red.items()}
 
 
 class EchelonPallasAligner(StrawmanPallasAligner):
@@ -2496,9 +2716,9 @@ class EchelonPallasAligner(StrawmanPallasAligner):
             np.float32)
         return self._assemble_fn(prep["C"], prep["C"] + prep["X"] + 256,
                                  scaled=sp is not None)(
-            *([jax.device_put(prep["kx5"]), jax.device_put(la4),
-               jax.device_put(prep["validm"]), jax.device_put(prep["ev"])]
-              + ([jax.device_put(sp)] if sp is not None else [])
+            *([self._dput(prep["kx5"]), self._dput(la4),
+               self._dput(prep["validm"]), self._dput(prep["ev"])]
+              + ([self._dput(sp)] if sp is not None else [])
               + [mm4, gm4]))
 
 

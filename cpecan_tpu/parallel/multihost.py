@@ -55,6 +55,47 @@ def local_shard_bounds(n_items):
     return start, stop
 
 
+def run_isolated(items, fn, retries=1, log=print):
+    """Bounded-retry bisecting work isolation — the jobTree job-retry
+    semantics the reference's cluster EM inherited (SURVEY §5; the Python
+    pipelines' per-read try/except, scripts/signalAlign.py:52-58).
+
+    Runs ``fn(sub_items) -> result`` on the whole list; on failure retries
+    up to ``retries`` times, then bisects and recurses, so one poisoned
+    item costs O(retries * log n) re-runs instead of the batch.  A single
+    item that keeps failing is skipped and reported, never fatal.
+
+    Returns ``(results, skipped)``: results as (sub_items, fn_result)
+    pairs covering every non-poisoned item exactly once, skipped as
+    (item, error string) pairs.
+    """
+    results, skipped = [], []
+
+    def go(sub):
+        err = None
+        for attempt in range(retries + 1):
+            try:
+                results.append((sub, fn(sub)))
+                return
+            except Exception as exc:  # isolation boundary: never fatal
+                err = exc
+                log(f"work unit of {len(sub)} failed "
+                    f"(attempt {attempt + 1}/{retries + 1}): {exc}")
+        if len(sub) == 1:
+            skipped.append((sub[0], str(err)))
+            log(f"skipping poisoned item after {retries + 1} "
+                f"attempts: {err}")
+        else:
+            mid = len(sub) // 2
+            go(sub[:mid])
+            go(sub[mid:])
+
+    items = list(items)
+    if items:
+        go(items)
+    return results, skipped
+
+
 class MultiHostEmController:
     """Thin controller for distributed signal-HMM EM.
 
@@ -74,9 +115,33 @@ class MultiHostEmController:
         self.mesh = global_data_mesh()
         self.log = (log if is_primary() else (lambda *a, **k: None))
         self.manager = None
+        self.skipped_report = []
         if checkpoint_dir is not None and is_primary():
             from ..utils.checkpoint import CheckpointManager
             self.manager = CheckpointManager(checkpoint_dir)
+
+    def run_shards(self, shards, fn, retries=1):
+        """Elastic E-step execution: run ``fn(sub_items)`` over each
+        shard's items with bounded retry + poisoned-item bisection
+        (run_isolated) — the per-job retry the reference's jobTree stack
+        provided.  The batch always completes; skipped items accumulate
+        in ``self.skipped_report`` as (item, error) pairs, so a run can
+        report exactly what work was dropped.
+
+        Returns (results, skipped) for this call; results are
+        (sub_items, fn_result) pairs for the caller's merge step.
+        """
+        all_results, all_skipped = [], []
+        for shard in shards:
+            r, s = run_isolated(list(shard), fn, retries=retries,
+                                log=self.log)
+            all_results += r
+            all_skipped += s
+        if all_skipped:
+            self.log(f"{len(all_skipped)} work item(s) skipped after "
+                     f"{retries + 1} attempts each")
+        self.skipped_report.extend(all_skipped)
+        return all_results, all_skipped
 
     def save(self, iteration, arrays, meta=None):
         if self.manager is not None:

@@ -312,11 +312,19 @@ def _alignment_jobs(alignments, sequences, params):
     return jobs
 
 
-def calculate_expectations_pallas(shards, sequences, sm, params, aligner):
+def calculate_expectations_pallas(shards, sequences, sm, params, aligner,
+                                  mesh=None):
     """The whole E-step in one batched kernel launch: every alignment of
     every shard through the 5-state wavefront kernel with in-kernel
     transition + emission expectation accumulators (the fast-path
-    equivalent of per-shard cPecanRealign --outputExpectations jobs)."""
+    equivalent of per-shard cPecanRealign --outputExpectations jobs).
+
+    With ``mesh`` the alignments shard data-parallel over the device mesh
+    and each chunk's accumulators come back psum-reduced
+    (run(mesh=...)): what crosses the host link is one [5,5]+[5,4,4]
+    pytree per chunk instead of per-read rows — the collective
+    replacement for cPecanEm's expectation-file merge
+    (cPecanEm.py:185-188)."""
     from ..models.hmm import HmmDiscrete
 
     jobs = _alignment_jobs([a for shard in shards for a in shard],
@@ -329,6 +337,17 @@ def calculate_expectations_pallas(shards, sequences, sm, params, aligner):
     # first chunk's single fused D2H transfer blocks, so host prep and
     # downloads overlap device compute (JAX async dispatch)
     chunk = 64
+    if mesh is not None:
+        outs = [aligner.run(sm, jobs[i:i + chunk], expectations=True,
+                            ragged_left=True, ragged_right=True, mesh=mesh)
+                for i in range(0, len(jobs), chunk)]
+        for out in outs:
+            red = {k: np.asarray(v)
+                   for k, v in out["expectations_reduced"].items()}
+            hmm.transitions += red["trans"].astype(np.float64)
+            hmm.emissions += red["emis"].astype(np.float64)
+            hmm.likelihood += float(red["likelihood"])
+        return hmm
     outs = [aligner.run(sm, jobs[i:i + chunk], expectations=True,
                         defer_expectations=True, ragged_left=True,
                         ragged_right=True)

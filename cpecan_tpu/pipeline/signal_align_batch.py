@@ -74,7 +74,7 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                    in_template_hmm=None, in_complement_hmm=None,
                    threshold=0.01, params=None, group=None, compact_k=4096,
                    log=print, interpret=None, aligner=None,
-                   sm_type="threeState", chunk=64):
+                   sm_type="threeState", chunk=64, mesh=None):
     """Batched signalAlign through the Pallas wavefront kernel — all four
     vanillaAlign machines ('threeState', 'vanilla' — the reference's
     default — 'fourState', and 'echelon'), one driver like the
@@ -91,6 +91,11 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
     the device (JAX async dispatch), so host post-processing and kernel
     time overlap instead of adding.  A shape hint pinned to the whole
     batch keeps every chunk on one compiled kernel.
+
+    ``mesh``: a 1-axis jax device mesh; each chunk's read groups shard
+    data-parallel over it (pa.run(mesh=...)), with per-device kernels and
+    per-device posterior compaction — the fast-path replacement for the
+    reference's per-read process pool (scripts/signalAlign.py:101-141).
 
     Same per-read preprocessing as cli.signal_align main (guide trimming,
     event slicing, anchor rebasing — vanillaAlign.c:463-530); posteriors
@@ -298,15 +303,30 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
 
     results = []
 
-    def drain(i0, outs):
+    def chunk_outputs(idxs):
+        outs = {}
+        for strand in (TEMPLATE, COMPLEMENT):
+            outs[strand] = pa.run(
+                sms[strand], [jobs[strand][i] for i in idxs],
+                compact_k=compact_k,
+                scale_params=np.asarray([sps[strand][i] for i in idxs]),
+                ragged_left=True, ragged_right=True,
+                shape_hint=(hint_lx, hint_nd),
+                bands=[bands_all[strand][i] for i in idxs], mesh=mesh)
+        return outs
+
+    def drain(idxs, outs):
+        """Write the chunk's tsvs; returns result rows (transactional —
+        the caller appends them only on full success, so the isolation
+        retry can re-run a failed chunk without duplicating results)."""
+        rows = []
         # one device->host transfer per strand-chunk (per-read slices of
         # device arrays would each pay the full transfer latency)
         for out in outs.values():
             vals, idx = out["compact"]
             out["compact"] = (np.asarray(vals), np.asarray(idx))
-        for i in range(i0, min(i0 + chunk, len(meta))):
+        for rel, i in enumerate(idxs):
             m = meta[i]
-            rel = i - i0
             tsv = os.path.join(out_dir, m["label"] + ".tsv")
             n_pairs = {}
             with open(tsv, "w") as fh:
@@ -344,26 +364,39 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                         npp.shift, full_events, target, m["forward"],
                         m["contig"], m["ev_off"][strand],
                         m["r_shift"][strand], ap, strand)
-            results.append((m["label"], True,
-                            f"t={n_pairs[TEMPLATE]} "
-                            f"c={n_pairs[COMPLEMENT]}"))
+            rows.append((m["label"], True,
+                         f"t={n_pairs[TEMPLATE]} "
+                         f"c={n_pairs[COMPLEMENT]}"))
+        return rows
+
+    def drain_isolated(idxs, outs):
+        """Chunk-level failure isolation (the reference's per-read
+        try/except + jobTree retry, scripts/signalAlign.py:52-58): a
+        kernel/extraction failure re-runs the chunk one read at a time,
+        so one poisoned read costs one retry, not the batch; its failure
+        is recorded in the results, never fatal."""
+        try:
+            results.extend(drain(idxs, outs))
+            return
+        except Exception as exc:
+            log(f"chunk of {len(idxs)} failed ({exc}); isolating reads")
+        for i in idxs:
+            try:
+                results.extend(drain([i], chunk_outputs([i])))
+            except Exception as exc:
+                results.append((meta[i]["label"], False, str(exc)))
+                log(f"alignment failed for {meta[i]['label']}: {exc}")
 
     pending = None
     for i0 in range(0, len(meta), chunk):
-        outs = {}
-        for strand in (TEMPLATE, COMPLEMENT):
-            outs[strand] = pa.run(
-                sms[strand], jobs[strand][i0:i0 + chunk],
-                compact_k=compact_k,
-                scale_params=np.asarray(sps[strand][i0:i0 + chunk]),
-                ragged_left=True, ragged_right=True,
-                shape_hint=(hint_lx, hint_nd),
-                bands=bands_all[strand][i0:i0 + chunk])
+        idxs = list(range(i0, min(i0 + chunk, len(meta))))
+        outs = chunk_outputs(idxs)
         if pending is not None:
-            drain(*pending)  # host tsv work overlaps this chunk's kernels
-        pending = (i0, outs)
+            # host tsv work overlaps this chunk's kernels
+            drain_isolated(*pending)
+        pending = (idxs, outs)
     if pending is not None:
-        drain(*pending)
+        drain_isolated(*pending)
     return results
 
 

@@ -66,12 +66,18 @@ def add_and_norm_expectations(hmms, sm_type):
 
 
 def _pallas_strand_expectations(model_file, hmm_file, jobs, sps, options,
-                                pa, strand):
+                                pa, strand, mesh=None):
     """Batched E-step for one strand through the wavefront kernel
     (run(expectations=True)): one kernel launch for the whole strand
     instead of a per-read engine pass; per-read model scaling happens on
     device.  ``pa`` is shared across EM iterations so its compiled-kernel
-    and feature-assembly caches hit."""
+    and feature-assembly caches hit.
+
+    With ``mesh`` the strand's read groups shard data-parallel over the
+    device mesh and the accumulators come back already psum-reduced
+    (run(mesh=...)), so the returned list holds ONE merged container —
+    the collective replacement for the reference's per-read expectation
+    files (scripts/trainModels.py:108-115)."""
     from ..io.poremodel import load_pore_model, scale_model
     from ..models.state_machines import (StateMachine3SignalStrawman,
                                          StateMachine3Vanilla)
@@ -91,6 +97,23 @@ def _pallas_strand_expectations(model_file, hmm_file, jobs, sps, options,
             params, gap_x = hmm.to_sm3_params()
         sm = StateMachine3SignalStrawman(model, params=params,
                                          gap_x_log_probs=gap_x)
+    if mesh is not None:
+        out = pa.run(sm, jobs, expectations=True,
+                     scale_params=np.asarray(sps, np.float64),
+                     ragged_left=True, ragged_right=True, mesh=mesh)
+        red = {k: np.asarray(v)
+               for k, v in out["expectations_reduced"].items()}
+        if options.sm_type == "vanilla":
+            h = VanillaHmm(pseudocount=0.0001)
+            h.implant_match_models(scale_model(model, *sps[0]))
+            h.kmer_skip_bins += red["skip_bins"]
+            h.likelihood += float(red["likelihood"])
+        else:
+            h = ContinuousPairHmm(pseudocount=0.0001)
+            h.add_expectations({"trans": red["trans"],
+                                "kmer_gap": red["kmer_gap"],
+                                "likelihood": red["likelihood"]})
+        return [h]
     out = pa.run(sm, jobs, expectations=True,
                  scale_params=np.asarray(sps, np.float64),
                  ragged_left=True, ragged_right=True)
@@ -113,13 +136,19 @@ def _pallas_strand_expectations(model_file, hmm_file, jobs, sps, options,
 
 def train(reference_path, read_guide_pairs, template_model, complement_model,
           out_template_hmm, out_complement_hmm, options: TrainOptions,
-          rng=None, log=print, checkpoint_dir=None, resume=False):
+          rng=None, log=print, checkpoint_dir=None, resume=False,
+          mesh=None):
     """Main EM loop (scripts/trainModels.py:118-236).
 
     read_guide_pairs: list of (npread_path, guide PairwiseAlignment) — the
     guide normally comes from bwa (scripts/nanoporeLib.py:202-235); any
     cigar source works.
     Returns (template_hmm, complement_hmm, likelihood trajectory).
+
+    ``mesh`` (engine='pallas' only): a 1-axis jax device mesh; each
+    strand's E-step shards data-parallel over it with psum-reduced
+    accumulators (the fast-path replacement for the reference's
+    multiprocessing fan-out + expectation-file merge).
     """
     from ..cli.realign import convert_alignment_to_anchor_pairs, \
         rebase_coordinates
@@ -225,10 +254,10 @@ def train(reference_path, read_guide_pairs, template_model, complement_model,
         if options.engine == "pallas":
             t_accs = _pallas_strand_expectations(
                 template_model, t_hmm_file, t_jobs, t_sp, options,
-                pallas_aligner, TEMPLATE)
+                pallas_aligner, TEMPLATE, mesh=mesh)
             c_accs = _pallas_strand_expectations(
                 complement_model, c_hmm_file, c_jobs, c_sp, options,
-                pallas_aligner, COMPLEMENT)
+                pallas_aligner, COMPLEMENT, mesh=mesh)
         t_merged, t_lik = add_and_norm_expectations(t_accs, options.sm_type)
         c_merged, c_lik = add_and_norm_expectations(c_accs, options.sm_type)
         with open(out_template_hmm, "w") as fh:

@@ -262,6 +262,47 @@ def test_run_batch_fast_echelon(tmp_path, zymo_reference_seq, zymo_npread):
                                            inter)
 
 
+def test_run_batch_fast_poisoned_read_isolated(tmp_path, zymo_reference_seq,
+                                               zymo_npread, monkeypatch):
+    """A read that blows up mid-drain (kernel/extraction/tsv stage) is
+    isolated by the chunk retry: the batch completes, the poisoned read is
+    reported failed, the other reads' tsvs are written
+    (scripts/signalAlign.py:52-58 semantics at the fast-path chunk
+    level)."""
+    from cpecan_tpu.cli import signal_align as sa
+    from cpecan_tpu.pipeline.signal_align_batch import run_batch_fast
+
+    guide = _zymo_guides(tmp_path, zymo_reference_seq, zymo_npread)
+    gf = guide.split()
+    reads = tmp_path / "reads"
+    reads.mkdir()
+    pairs = []
+    for label in ("good_a", "poison", "good_b"):
+        dst = reads / f"{label}.npRead"
+        shutil.copy(NPREAD, dst)
+        pairs.append((str(dst), " ".join([gf[0], label] + gf[2:])))
+
+    real_write = sa.write_posterior_probs
+
+    def bomb(fh, read_label, *a, **k):
+        if read_label == "poison":
+            raise RuntimeError("injected tsv failure")
+        return real_write(fh, read_label, *a, **k)
+
+    monkeypatch.setattr(sa, "write_posterior_probs", bomb)
+    out_dir = tmp_path / "fastp"
+    results = run_batch_fast(REF, pairs, str(out_dir),
+                             template_model_file=TMODEL,
+                             complement_model_file=CMODEL,
+                             log=lambda m: None)
+    by_label = {r[0]: r for r in results}
+    assert by_label["good_a"][1] and by_label["good_b"][1]
+    assert not by_label["poison"][1]
+    assert "injected tsv failure" in by_label["poison"][2]
+    assert (out_dir / "good_a.tsv").exists()
+    assert (out_dir / "good_b.tsv").exists()
+
+
 def test_run_batch_fast_unknown_rejected():
     from cpecan_tpu.pipeline.signal_align_batch import run_batch_fast
     with pytest.raises(ValueError, match="sm_type"):

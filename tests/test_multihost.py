@@ -41,6 +41,69 @@ def test_controller_checkpointing(tmp_path):
     np.testing.assert_array_equal(arrays["w"], [0.0, 2.0, 4.0])
 
 
+def test_run_isolated_bisects_poisoned_item():
+    """One poisoned item: the batch completes, the item is skipped and
+    reported, every other item is processed exactly once (the jobTree
+    job-retry semantics the reference's cluster EM inherited)."""
+    from cpecan_tpu.parallel.multihost import run_isolated
+
+    calls = []
+
+    def fn(sub):
+        calls.append(list(sub))
+        if 13 in sub:
+            raise ValueError("poisoned")
+        return sum(sub)
+
+    items = list(range(20))
+    results, skipped = run_isolated(items, fn, retries=1,
+                                    log=lambda m: None)
+    assert skipped == [(13, "poisoned")]
+    covered = [i for sub, _ in results for i in sub]
+    assert sorted(covered) == [i for i in items if i != 13]
+    assert sum(r for _, r in results) == sum(items) - 13
+    # bounded: O(retries * log n) re-runs, not O(n)
+    assert len(calls) < 3 * (len(items).bit_length() + 1) * 2
+
+
+def test_run_shards_poisoned_read_em():
+    """A poisoned read (non-monotone anchors) inside an EM E-step: the
+    controller's run_shards completes the batch, records the failure, and
+    the merged model equals the clean run minus that read
+    (the VERDICT's elastic-recovery bar; reference analogue:
+    scripts/signalAlign.py:52-58 + jobTree retries)."""
+    from __graft_entry__ import _synthetic_batch
+    from cpecan_tpu.align import AlignmentParams
+    from cpecan_tpu.ops.pallas_fb import StrawmanPallasAligner
+
+    sm, reads = _synthetic_batch(n_reads=6, n_ref=70, n_events=60, seed=2)
+    poisoned = 3
+    bad = list(reads[poisoned])
+    bad[4] = [(30, 20), (10, 30)]  # non-monotone anchors -> prepare raises
+    reads[poisoned] = tuple(bad)
+
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=True, group=2)
+
+    def estep(sub_idxs):
+        out = pa.run(sm, [reads[i] for i in sub_idxs], expectations=True,
+                     ragged_left=True, ragged_right=True)
+        exp = out["expectations"]
+        return {k: np.asarray(v).sum(axis=0) for k, v in exp.items()}
+
+    c = MultiHostEmController(log=lambda m: None)
+    results, skipped = c.run_shards([list(range(len(reads)))], estep,
+                                    retries=1)
+    assert [i for i, _err in skipped] == [poisoned]
+    assert c.skipped_report and c.skipped_report[0][0] == poisoned
+    trans = sum(r["trans"] for _, r in results)
+
+    clean = estep([i for i in range(len(reads)) if i != poisoned])
+    # f32 kernels: different group compositions change window unions and
+    # roll alignments, so accumulators agree to f32 rounding, not bits
+    np.testing.assert_allclose(trans, clean["trans"], rtol=1e-3,
+                               atol=1e-6)
+
+
 @pytest.mark.slow
 def test_two_process_distributed_em(tmp_path):
     """Run the REAL thing: two jax.distributed CPU processes (2 local
