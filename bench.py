@@ -475,17 +475,33 @@ def bench_hdp(reads):
     nhdp.execute_gibbs_sampling(num_samples=6, burn_in=100, thinning=20)
     nhdp.finalize_distributions()
     sm = StateMachine3Hdp(nhdp)
-    pa = HdpPallasAligner(AlignmentParams(), interpret=False, group=32)
-    sub = reads[:64]
+    # r4: the headline chunk-pipelined recipe applied to HDP — 256 reads
+    # dispatched in 64-read chunks with async per-chunk D2H, group=64.
+    # Measured (tools/exp_hdp_chunked.py): one 64-read sync run 535/s
+    # (g32) -> 634/s (g64); chunk64x4 888/s (g32) -> 1029/s (g64); one
+    # big 256-read dispatch is WORSE (459/s — the per-read density
+    # stream serializes ahead of the kernels instead of riding under the
+    # previous chunk's D2H).  Each run() phase carries ~30-50 ms of
+    # fixed tunnel-sync latency (tools/profile_hdp.py), which chunk
+    # pipelining hides.
+    pa = HdpPallasAligner(AlignmentParams(), interpret=False, group=64)
+    chunk = 64
 
     def run():
-        out = pa.run(sm, sub, compact_k=2048)
-        return np.asarray(out["compact"][0])
+        outs = []
+        for i in range(0, len(reads), chunk):
+            o = pa.run(sm, reads[i:i + chunk], compact_k=2048)
+            o["compact"][0].copy_to_host_async()
+            o["compact"][1].copy_to_host_async()
+            outs.append(o)
+        return [(np.asarray(o["compact"][0]), np.asarray(o["compact"][1]))
+                for o in outs]
 
     run()
     dt = _median_time(run)
-    _emit("hdp_alignments_per_sec", len(sub) / dt,
-          "alignments/s (HDP spline-density emissions, streamed)")
+    _emit("hdp_alignments_per_sec", len(reads) / dt,
+          f"alignments/s (HDP spline-density emissions, streamed, "
+          f"chunked x{chunk})")
 
 
 def main():

@@ -729,7 +729,14 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
         return tuple(new) + tuple(p1)
 
     carry = tuple(prev1) + (neg,) * S
-    jax.lax.fori_loop(1, ND + 1, step, carry)
+    # manual 2x unroll (Mosaic's for-loop lowering has no partial unroll):
+    # halves loop-control overhead; an odd ND gets a tail step
+    def step2(i, c):
+        return step(2 * i + 2, step(2 * i + 1, c))
+
+    carry = jax.lax.fori_loop(0, ND // 2, step2, carry)
+    if ND % 2:
+        step(ND, carry)
     pltpu.make_async_copy(scratch.at[ND % 2], out_ref.at[g, ND],
                           sem.at[ND % 2]).wait()
     pltpu.make_async_copy(scratch.at[(ND - 1) % 2], out_ref.at[g, ND - 1],
@@ -1053,7 +1060,13 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
             + 0.0 * lane128.astype(jnp.float32)
         carry = carry + (neg,) * S + (zero128,
                                       winf[0, 0, jnp.int32(ND + 2)] // W)
-    carry = jax.lax.fori_loop(0, ND, step, carry)
+    # manual 2x unroll, same rationale as the forward loop
+    def step2(i, c):
+        return step(2 * i + 1, step(2 * i, c))
+
+    carry = jax.lax.fori_loop(0, ND // 2, step2, carry)
+    if ND % 2:
+        carry = step(ND - 1, carry)
     total = carry[2 * S]
     tot_ref[0] = total + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
 
