@@ -24,6 +24,11 @@ History (this machine, TPU v5e 1 chip, headline batch e2e):
      cost over 4x reads): device 4.84e8 -> 8.04e8 cells/s
   r3 + quantized wire formats (-36% tunnel bytes), chunk=64 with
      async per-chunk D2H:            ~965 -> ~1470 alignments/s
+  r4 headline steady (~1270-1470, tunnel noise); the chunked recipe
+     spread to every family — HDP 582 -> ~1030-1250, vanilla ~1050 ->
+     ~1320, fourState ~1240 -> ~1380, dna realign 416 -> ~534 (x32),
+     echelon 302 -> ~408 (x32); echelon joined the fast pipeline
+     (signal_pipeline_echelon_reads_per_sec)
 vs_baseline is the ratio against the first recorded TPU measurement
 (10.2 aligns/s; the reference publishes no numbers — BASELINE.md).
 """
@@ -144,16 +149,26 @@ def bench_dna_realign():
         reads.append((sx, sy, n, len(sy), anchors))
     sm = StateMachine5()
     pa = Dna5PallasAligner(AlignmentParams(), interpret=False)
+    # r4: chunk=32 with async per-chunk D2H (tools/exp_chunk_family.py:
+    # 437 vs 278 aligns/s at one 64-read dispatch, group=32; group=64
+    # regressed on 32-read chunks — half the group rows pad)
+    chunk = 32
+    hint = (max(r[2] for r in reads), pa.prepare(sm, reads)["ND"])
 
     def run():
-        out = pa.run(sm, reads, ragged_left=True, ragged_right=True,
-                     compact_k=4096)
-        return np.asarray(out["compact"][0])
+        outs = []
+        for i in range(0, len(reads), chunk):
+            o = pa.run(sm, reads[i:i + chunk], ragged_left=True,
+                       ragged_right=True, compact_k=4096, shape_hint=hint)
+            o["compact"][0].copy_to_host_async()
+            outs.append(o)
+        return [np.asarray(o["compact"][0]) for o in outs]
 
     run()
     dt = _median_time(run)
     _emit("dna_realign_alignments_per_sec", len(reads) / dt,
-          "alignments/s (2kb pairs, 5-state DNA, cPecanRealign workload)")
+          f"alignments/s (2kb pairs, 5-state DNA, cPecanRealign workload, "
+          f"chunked x{chunk})")
 
 
 def bench_dna_em():
@@ -305,16 +320,25 @@ def bench_echelon():
     # saturating at this threshold
     pa = EchelonPallasAligner(AlignmentParams(threshold=0.01),
                               interpret=False, group=32)
+    # r4: chunk=32 with async per-chunk D2H (tools/exp_chunk_family.py:
+    # 315 vs 238 aligns/s at one 64-read dispatch)
+    chunk = 32
+    hint = (max(r[2] for r in reads), pa.prepare(sm, reads)["ND"])
 
     def run():
-        out = pa.run(sm, reads, compact_k=4096)
-        return np.asarray(out["compact"][0])
+        outs = []
+        for i in range(0, len(reads), chunk):
+            o = pa.run(sm, reads[i:i + chunk], compact_k=4096,
+                       shape_hint=hint)
+            o["compact"][0].copy_to_host_async()
+            outs.append(o)
+        return [np.asarray(o["compact"][0]) for o in outs]
 
     run()
     dt = _median_time(run)
     _emit("echelon_alignments_per_sec", len(reads) / dt,
           "alignments/s (7-state multi-kmer echelon, multi-state "
-          "posterior windows)")
+          f"posterior windows, chunked x{chunk})")
 
 
 def bench_signal_pipeline():
