@@ -386,10 +386,13 @@ def bench_signal_pipeline():
                                    group=32)
 
         def run():
+            # chunk=32: drain (threaded tsv writes) of chunk k overlaps
+            # chunk k+1's kernels; 64/32/16 measured 113/130/107 reads/s
             return run_batch_fast(REF, pairs, out_dir,
                                   template_model_file=TMODEL,
                                   complement_model_file=CMODEL,
-                                  log=lambda m: None, aligner=pa)
+                                  log=lambda m: None, aligner=pa,
+                                  chunk=32)
 
         res = run()
         assert len(res) == n_reads

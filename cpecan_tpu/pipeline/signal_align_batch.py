@@ -313,19 +313,26 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                 ragged_left=True, ragged_right=True,
                 shape_hint=(hint_lx, hint_nd),
                 bands=[bands_all[strand][i] for i in idxs], mesh=mesh)
+            # start the pair download as soon as the kernels finish:
+            # the template transfer rides under the complement kernels
+            # (and both under the next chunk's), instead of serializing
+            # their ~100-250 ms tunnel latencies at drain time
+            if mesh is None:
+                for arr in outs[strand]["compact"][:2]:
+                    arr.copy_to_host_async()
         return outs
 
     def drain(idxs, outs):
         """Write the chunk's tsvs; returns result rows (transactional —
         the caller appends them only on full success, so the isolation
         retry can re-run a failed chunk without duplicating results)."""
-        rows = []
         # one device->host transfer per strand-chunk (per-read slices of
         # device arrays would each pay the full transfer latency)
         for out in outs.values():
             vals, idx = out["compact"]
             out["compact"] = (np.asarray(vals), np.asarray(idx))
-        for rel, i in enumerate(idxs):
+
+        def write_read(rel, i):
             m = meta[i]
             tsv = os.path.join(out_dir, m["label"] + ".tsv")
             n_pairs = {}
@@ -364,9 +371,23 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                         npp.shift, full_events, target, m["forward"],
                         m["contig"], m["ev_off"][strand],
                         m["r_shift"][strand], ap, strand)
-            rows.append((m["label"], True,
-                         f"t={n_pairs[TEMPLATE]} "
-                         f"c={n_pairs[COMPLEMENT]}"))
+            return (m["label"], True,
+                    f"t={n_pairs[TEMPLATE]} c={n_pairs[COMPLEMENT]}")
+
+        # per-read tsvs are independent files: a small thread pool hides
+        # the file open/write latency (IO and the native formatter both
+        # release the GIL) behind the numpy extraction work.  Build/load
+        # the native formatter once, serially — concurrent first calls
+        # would race the on-demand g++ compile of the .so
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..cli.signal_align import _native_tsv
+        _native_tsv()
+        if len(idxs) > 1:
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                rows = list(pool.map(write_read, range(len(idxs)), idxs))
+        else:
+            rows = [write_read(0, idxs[0])]
         return rows
 
     def drain_isolated(idxs, outs):
