@@ -386,13 +386,17 @@ def bench_signal_pipeline():
                                    group=32)
 
         def run():
-            # chunk=32: drain (threaded tsv writes) of chunk k overlaps
-            # chunk k+1's kernels; 64/32/16 measured 113/130/107 reads/s
+            # r4.2: drain extraction is one vectorized pass per chunk
+            # (extract_pairs_chunk) and per-target tsv columns are cached,
+            # so bigger chunks win — chunk=64/compact_k=2048 measured
+            # ~250 reads/s vs 130 for the old chunk=32/k=4096 recipe
+            # (k=1024 measured ~267 but sits 6% under Zymo's ~963
+            # pairs/strand; 2048 keeps 2x saturation headroom)
             return run_batch_fast(REF, pairs, out_dir,
                                   template_model_file=TMODEL,
                                   complement_model_file=CMODEL,
                                   log=lambda m: None, aligner=pa,
-                                  chunk=32)
+                                  chunk=64, compact_k=2048)
 
         res = run()
         assert len(res) == n_reads

@@ -8,6 +8,7 @@ signal-level aligned pairs as tsv (-u) or per-strand EM expectation files
 
 import argparse
 import sys
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
@@ -103,6 +104,29 @@ def _native_tsv():
     return _TSV_LIB or None
 
 
+def _kmer_windows(seq):
+    """All KMER_LENGTH-windows of ``seq`` as an array of byte strings
+    (zero-copy byte view; str round-trips below are ASCII)."""
+    codes = np.frombuffer(seq.encode(), np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(codes, KMER_LENGTH)
+    return np.ascontiguousarray(win).view(f"S{KMER_LENGTH}").ravel()
+
+
+@_lru_cache(maxsize=128)
+def _target_columns(target):
+    """Per-target tsv columns (kmer indices + kmer byte windows), cached:
+    reads of a batch that map to the same guide region share them, and
+    recomputing per read-strand was ~30% of the batch drain's host time."""
+    from ..models.kmers import seq_to_kmer_indices
+    return seq_to_kmer_indices(target, length=len(target)), \
+        _kmer_windows(target)
+
+
+@_lru_cache(maxsize=128)
+def _rc_windows(target):
+    return _kmer_windows(reverse_complement(target))
+
+
 def write_posterior_probs(fh, read_label, match_model, scale, shift, events,
                           target, forward, contig, event_offset, ref_offset,
                           aligned_pairs, strand):
@@ -128,8 +152,7 @@ def write_posterior_probs(fh, read_label, match_model, scale, shift, events,
     p = score / PAIR_ALIGNMENT_PROB_1
     ev = events[y]
     descaled_mean = (ev[:, 0] - shift) / scale
-    from ..models.kmers import seq_to_kmer_indices
-    kidx_all = seq_to_kmer_indices(target, length=len(target))
+    kidx_all, kwin = _target_columns(target)
     k_idx = kidx_all[np.clip(x_i, 0, len(kidx_all) - 1)]
     ok = (k_idx >= 0) & (k_idx < match_model.shape[0])
     safe = np.clip(k_idx, 0, match_model.shape[0] - 1)
@@ -137,20 +160,11 @@ def write_posterior_probs(fh, read_label, match_model, scale, shift, events,
     e_noise = np.where(ok, match_model[safe, 2], 0.0)
     descaled_e_level = (e_level - shift) / scale
     L = len(target)
-
-    def kmer_windows(seq):
-        """All KMER_LENGTH-windows of ``seq`` as an array of byte strings
-        (zero-copy byte view; str round-trips below are ASCII)."""
-        codes = np.frombuffer(seq.encode(), np.uint8)
-        win = np.lib.stride_tricks.sliding_window_view(codes, KMER_LENGTH)
-        return np.ascontiguousarray(win).view(f"S{KMER_LENGTH}").ravel()
-
-    k_bytes = kmer_windows(target)[x_i]
+    k_bytes = kwin[x_i]
     if (strand == TEMPLATE) == forward:
         ref_bytes = k_bytes
     else:
-        rc_target = reverse_complement(target)
-        ref_bytes = kmer_windows(rc_target)[L - x_i - KMER_LENGTH]
+        ref_bytes = _rc_windows(target)[L - x_i - KMER_LENGTH]
 
     n = len(ap)
     lib = _native_tsv()

@@ -2931,3 +2931,116 @@ def extract_pairs_auto(out, read_idx, n_diag, threshold, as_array=False):
     if as_array:
         return ap
     return list(map(tuple, ap.tolist()))
+
+
+def extract_pairs_chunk(out, rels, n_diags, threshold):
+    """Batched pair extraction: ONE vectorized numpy pass over a whole
+    chunk's compacted posteriors instead of per-read
+    ``extract_pairs_auto`` calls — the per-read small-array calls were
+    the batch pipeline's dominant host cost (~2x the tsv formatting).
+
+    Returns a list of [N, 3] int64 (score, x, y) arrays, one per entry
+    of ``rels`` (read indices into the run's packed groups), each sorted
+    by diagonal x+y with stable ties — exactly
+    ``extract_pairs_auto(..., as_array=True)`` followed by the pipeline
+    drain's stable argsort.  Reads whose top-k saturated (every
+    compacted cell clears the threshold) fall back to the per-read
+    full-plane path, like ``extract_pairs_auto``.
+    """
+    from ..constants import PAIR_ALIGNMENT_PROB_1
+    vals, idx = out["compact"]
+    prep = out["prep"]
+    R, W = prep["R"], prep["W"]
+    win = np.asarray(prep["win"])
+    rels = np.asarray(rels, np.int64)
+    nd = np.asarray(n_diags, np.int64)
+    v = np.asarray(vals)
+    k = v.shape[-1]
+    v = v.reshape(-1, k)[rels]
+    if v.dtype == np.uint16:
+        v = v.astype(np.float32) / np.float32(65535.0)
+    ix = np.asarray(idx).reshape(-1, k)[rels].astype(np.int64)
+    sat = (v[:, -1] >= threshold) if k else np.zeros(len(rels), bool)
+    d = ix // W + 1
+    keep = (v >= threshold) & (d <= nd[:, None]) & ~sat[:, None]
+    rsel, csel = np.nonzero(keep)
+    dk = d[rsel, csel]
+    lk = ix[rsel, csel] % W
+    gk = rels[rsel] // R
+    x = win[gk, dk].astype(np.int64) + lk
+    vk = v[rsel, csel].astype(np.float64)
+    scores = np.floor(np.minimum(vk, 1.0)
+                      * PAIR_ALIGNMENT_PROB_1).astype(np.int64)
+    ap = np.stack([scores, x - 1, dk - x - 1], axis=1)
+    # one global stable sort; x+y = d-2, so the drain's diagonal order
+    # is just d within each read
+    order = np.argsort((rsel << np.int64(32)) | dk, kind="stable")
+    ap = ap[order]
+    splits = np.searchsorted(rsel[order], np.arange(1, len(rels)))
+    parts = np.split(ap, splits)
+    for i in np.nonzero(sat)[0]:
+        full = extract_pairs_auto(out, int(rels[i]), int(nd[i]), threshold,
+                                  as_array=True).reshape(-1, 3)
+        parts[i] = full[np.argsort(full[:, 1] + full[:, 2], kind="stable")]
+    return parts
+
+
+def extract_echelon_pairs_chunk(out, rels, n_diags, threshold):
+    """Batched echelon pair extraction with the multi-state expansion
+    (state j emits j+1 pairs, diagonalCalculationMultiPosteriorMatchProbs,
+    impl/pairwiseAligner.c:845-856), vectorized over a whole chunk.
+
+    Returns a list of [N, 3] int64 (score, x, y) arrays sorted by x+y
+    (stable), matching ``extract_echelon_pairs`` + the drain's argsort.
+    Saturated reads fall back to the per-read path.
+    """
+    from ..constants import PAIR_ALIGNMENT_PROB_1
+    vals, idx = out["compact"]
+    prep = out["prep"]
+    R, W = prep["R"], prep["W"]
+    NP = out["posteriors"].shape[2]
+    win = np.asarray(prep["win"])
+    rels = np.asarray(rels, np.int64)
+    nd = np.asarray(n_diags, np.int64)
+    v = np.asarray(vals)
+    k = v.shape[-1]
+    v = v.reshape(-1, k)[rels]
+    if v.dtype == np.uint16:
+        v = v.astype(np.float32) / np.float32(65535.0)
+    ix = np.asarray(idx).reshape(-1, k)[rels].astype(np.int64)
+    sat = (v[:, -1] >= threshold) if k else np.zeros(len(rels), bool)
+    d = ix // (NP * W) + 1
+    j = ix % (NP * W) // W
+    l = ix % W
+    keep = (v >= threshold) & (d <= nd[:, None]) & ~sat[:, None]
+    rsel, csel = np.nonzero(keep)
+    dk = d[rsel, csel]
+    jk = j[rsel, csel]
+    gk = rels[rsel] // R
+    x = win[gk, dk].astype(np.int64) + l[rsel, csel]
+    y = dk - x
+    vk = v[rsel, csel].astype(np.float64)
+    valid = (x >= 1) & (y >= 1)
+    rsel, jk, x, y, vk = (a[valid] for a in (rsel, jk, x, y, vk))
+    scores = np.floor(np.minimum(vk, 1.0)
+                      * PAIR_ALIGNMENT_PROB_1).astype(np.int64)
+    # state j expands to j+1 pairs (x+n-1, y-1), n ascending — same emit
+    # order as the per-read path's inner loop
+    reps = jk + 1
+    base = np.repeat(np.arange(len(x)), reps)
+    ends = np.cumsum(reps)
+    n = (np.arange(int(ends[-1]) if len(ends) else 0)
+         - np.repeat(ends - reps, reps))
+    ap = np.stack([scores[base], x[base] + n - 1, y[base] - 1], axis=1)
+    rr = rsel[base]
+    order = np.argsort((rr << np.int64(32)) | (ap[:, 1] + ap[:, 2]),
+                       kind="stable")
+    ap = ap[order]
+    splits = np.searchsorted(rr[order], np.arange(1, len(rels)))
+    parts = np.split(ap, splits)
+    for i in np.nonzero(sat)[0]:
+        full = np.asarray(extract_echelon_pairs(out, int(rels[i]),
+                                                int(nd[i]), threshold),
+                          np.int64).reshape(-1, 3)
+        parts[i] = full[np.argsort(full[:, 1] + full[:, 2], kind="stable")]
+    return parts

@@ -126,7 +126,8 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
     from ..ops.pallas_fb import (EchelonPallasAligner, Sm4PallasAligner,
                                  StrawmanPallasAligner,
                                  VanillaPallasAligner,
-                                 extract_echelon_pairs, extract_pairs_auto)
+                                 extract_echelon_pairs_chunk,
+                                 extract_pairs_chunk)
 
     aligner_cls = {"threeState": StrawmanPallasAligner,
                    "vanilla": VanillaPallasAligner,
@@ -301,6 +302,22 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
         sms[strand], models[strand] = strand_sm(model_file, hmm_file,
                                                 strand)
 
+    # per-(strand, read-params) scaled match model, memoized — reads from
+    # the same pore/run share scalings, and the tsv writer only needs the
+    # scaled table, not a fresh copy per read-strand (worst case under
+    # races: a duplicate compute, never a wrong value)
+    _scaled_memo = {}
+
+    def scaled_match_model(strand, npp):
+        key = (strand, npp.scale, npp.shift, npp.var, npp.scale_sd,
+               npp.var_sd)
+        m = _scaled_memo.get(key)
+        if m is None:
+            m = scale_model(models[strand], npp.scale, npp.shift, npp.var,
+                            npp.scale_sd, npp.var_sd).match_model
+            _scaled_memo[key] = m
+        return m
+
     results = []
 
     def chunk_outputs(idxs):
@@ -332,28 +349,27 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
             vals, idx = out["compact"]
             out["compact"] = (np.asarray(vals), np.asarray(idx))
 
+        # pair extraction is ONE vectorized pass per strand over the whole
+        # chunk (per-read extract_pairs_auto calls were the drain's
+        # dominant host cost); rows come back already in the tsv's
+        # stable diagonal order
+        extract = (extract_echelon_pairs_chunk if sm_type == "echelon"
+                   else extract_pairs_chunk)
+        aps = {}
+        for strand in (TEMPLATE, COMPLEMENT):
+            out = outs[strand]
+            nds = [out["prep"]["bands"][rel].n_diag
+                   for rel in range(len(idxs))]
+            aps[strand] = extract(out, list(range(len(idxs))), nds,
+                                  params.threshold)
+
         def write_read(rel, i):
             m = meta[i]
             tsv = os.path.join(out_dir, m["label"] + ".tsv")
             n_pairs = {}
             with open(tsv, "w") as fh:
                 for strand in (TEMPLATE, COMPLEMENT):
-                    out = outs[strand]
-                    if sm_type == "echelon":
-                        # multi-state windows: state j expands to j+1
-                        # pairs (diagonalCalculationMultiPosteriorMatchProbs)
-                        ap = np.asarray(extract_echelon_pairs(
-                            out, rel, out["prep"]["bands"][rel].n_diag,
-                            params.threshold),
-                            np.int64).reshape(-1, 3)
-                    else:
-                        ap = extract_pairs_auto(
-                            out, rel, out["prep"]["bands"][rel].n_diag,
-                            params.threshold, as_array=True).reshape(-1, 3)
-                    # tsv rows ordered by x+y = diagonal (stable: ties
-                    # keep extraction order, matching list.sort)
-                    ap = ap[np.argsort(ap[:, 1] + ap[:, 2],
-                                       kind="stable")]
+                    ap = aps[strand][rel]
                     n_pairs[strand] = len(ap)
                     npp = (m["np_read"].template_params
                            if strand == TEMPLATE
@@ -363,11 +379,9 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
                                    else m["np_read"].complement_events)
                     target = (m["trimmed"] if strand == TEMPLATE
                               else m["rc_trimmed"])
-                    scaled = scale_model(models[strand], npp.scale,
-                                         npp.shift, npp.var, npp.scale_sd,
-                                         npp.var_sd)
                     write_posterior_probs(
-                        fh, m["label"], scaled.match_model, npp.scale,
+                        fh, m["label"], scaled_match_model(strand, npp),
+                        npp.scale,
                         npp.shift, full_events, target, m["forward"],
                         m["contig"], m["ev_off"][strand],
                         m["r_shift"][strand], ap, strand)

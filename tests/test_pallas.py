@@ -793,3 +793,85 @@ def test_shape_hint_parity(template_model):
         a = extract_pairs_from_pallas(base, i, params.threshold)
         b = extract_pairs_from_pallas(hinted, i, params.threshold)
         assert sorted(a) == sorted(b)
+
+
+def test_chunk_extraction_matches_per_read(template_model, fixture_reads):
+    """extract_pairs_chunk (the batch pipeline's one-pass drain extractor)
+    must equal per-read extract_pairs_auto + the drain's stable diagonal
+    sort, element for element."""
+    from cpecan_tpu.ops.pallas_fb import (extract_pairs_auto,
+                                          extract_pairs_chunk)
+    sm = StateMachine3SignalStrawman(template_model)
+    params = AlignmentParams()
+    pa = StrawmanPallasAligner(params, interpret=True)
+    out = pa.run(sm, fixture_reads)
+    rels = list(range(len(fixture_reads)))
+    nds = [out["prep"]["bands"][i].n_diag for i in rels]
+    parts = extract_pairs_chunk(out, rels, nds, params.threshold)
+    assert len(parts) == len(fixture_reads)
+    for i in rels:
+        want = extract_pairs_auto(out, i, nds[i], params.threshold,
+                                  as_array=True).reshape(-1, 3)
+        want = want[np.argsort(want[:, 1] + want[:, 2], kind="stable")]
+        assert want.shape == parts[i].shape, i
+        assert np.array_equal(parts[i], want), i
+
+
+def test_chunk_extraction_saturated_fallback(template_model, fixture_reads):
+    """A tiny compact_k saturates the top-k: the chunk extractor must fall
+    back to the per-read full-plane path for those reads and still match."""
+    from cpecan_tpu.ops.pallas_fb import (extract_pairs_auto,
+                                          extract_pairs_chunk)
+    sm = StateMachine3SignalStrawman(template_model)
+    params = AlignmentParams()
+    pa = StrawmanPallasAligner(params, interpret=True)
+    out = pa.run(sm, fixture_reads, compact_k=8)
+    rels = list(range(len(fixture_reads)))
+    nds = [out["prep"]["bands"][i].n_diag for i in rels]
+    parts = extract_pairs_chunk(out, rels, nds, params.threshold)
+    for i in rels:
+        want = extract_pairs_auto(out, i, nds[i], params.threshold,
+                                  as_array=True).reshape(-1, 3)
+        want = want[np.argsort(want[:, 1] + want[:, 2], kind="stable")]
+        assert np.array_equal(parts[i], want), i
+
+
+def test_echelon_chunk_extraction_matches_per_read(template_model):
+    """extract_echelon_pairs_chunk must equal per-read
+    extract_echelon_pairs (multi-state expansion) + the drain's sort."""
+    from cpecan_tpu.models.kmers import seq_to_kmer_indices
+    from cpecan_tpu.models.state_machines import StateMachineEchelon
+    from cpecan_tpu.ops.pallas_fb import (EchelonPallasAligner,
+                                          extract_echelon_pairs,
+                                          extract_echelon_pairs_chunk)
+
+    rng = np.random.default_rng(23)
+    mm = template_model.match_model
+    reads = []
+    for r in range(3):
+        n = 40 + 12 * r
+        ref = "".join(rng.choice(list("ACGT"), n))
+        l_x = n - 5
+        kidx = seq_to_kmer_indices(ref)
+        events = np.zeros((l_x, 3))
+        for i in range(l_x):
+            events[i, 0] = mm[kidx[i], 0] + rng.normal(0, 0.5)
+            events[i, 1] = max(mm[kidx[i], 2], 0.1)
+            events[i, 2] = 0.01
+        anchors = [(j, j) for j in range(6, l_x - 6, 9)]
+        reads.append((ref, events, l_x, l_x, anchors))
+
+    sm = StateMachineEchelon(template_model)
+    params = AlignmentParams(threshold=0.15)
+    pa = EchelonPallasAligner(params, interpret=True)
+    out = pa.run(sm, reads)
+    rels = list(range(len(reads)))
+    nds = [out["prep"]["bands"][i].n_diag for i in rels]
+    parts = extract_echelon_pairs_chunk(out, rels, nds, params.threshold)
+    for i in rels:
+        want = np.asarray(extract_echelon_pairs(out, i, nds[i],
+                                                params.threshold),
+                          np.int64).reshape(-1, 3)
+        want = want[np.argsort(want[:, 1] + want[:, 2], kind="stable")]
+        assert want.shape == parts[i].shape, i
+        assert np.array_equal(parts[i], want), i

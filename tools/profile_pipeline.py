@@ -64,12 +64,18 @@ def main():
                                interpret=False)
     out_dir = os.path.join(tmp, "out")
 
+    compact_k = next((int(a.split("=")[1]) for a in sys.argv
+                      if a.startswith("--compact_k=")), 4096)
+    chunk = next((int(a.split("=")[1]) for a in sys.argv
+                  if a.startswith("--chunk=")), 64)
+
     def once(tag):
         t0 = time.perf_counter()
         results = run_batch_fast(REF, pairs, out_dir,
                                  template_model_file=TMODEL,
                                  complement_model_file=CMODEL,
-                                 aligner=pa, log=lambda m: None)
+                                 aligner=pa, log=lambda m: None,
+                                 compact_k=compact_k, chunk=chunk)
         dt = time.perf_counter() - t0
         ok = sum(1 for _, s, _ in results if s)
         print(f"{tag}: {ok}/{n} reads in {dt:.2f}s = {ok/dt:.1f} reads/s")
