@@ -226,6 +226,13 @@ class _NativePoset:
         self._h = lib.poset_new(len(lengths), arr)
         if not self._h:  # native allocation failed (returns NULL)
             raise MemoryError("native poset allocation failed")
+        # flat int32 (seq, pos) arrays cached per members LIST — rebuilding
+        # them per consistent/merge call was the greedy loop's single
+        # hottest line (90k calls/round on the 16x1kb bench).  Keyed by
+        # id(list) + length: member lists are created once (Columns init),
+        # mutate only by extend (union), and are the only lists reaching
+        # _flat, so a same-id same-len hit is always the same contents.
+        self._cache = {}
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -233,21 +240,30 @@ class _NativePoset:
             self._h = None
 
     def _flat(self, mem):
-        c = self._ctypes
+        ent = self._cache.get(id(mem))
+        if ent is not None and ent[0] == len(mem):
+            return ent
         k = len(mem)
-        ss = (c.c_int32 * k)(*(m[0] for m in mem))
-        pp = (c.c_int32 * k)(*(m[1] for m in mem))
-        return k, ss, pp
+        a = np.asarray(mem, np.int32).reshape(k, 2)
+        ent = (k, np.ascontiguousarray(a[:, 0]),
+               np.ascontiguousarray(a[:, 1]))
+        self._cache[id(mem)] = ent
+        return ent
 
     def consistent(self, mem_a, mem_b):
         ka, sa, pa = self._flat(mem_a)
         kb, sb, pb = self._flat(mem_b)
-        return bool(self._lib.poset_consistent(self._h, ka, sa, pa,
-                                               kb, sb, pb))
+        return bool(self._lib.poset_consistent(
+            self._h, ka, sa.ctypes.data, pa.ctypes.data,
+            kb, sb.ctypes.data, pb.ctypes.data))
 
     def merge(self, mem_a, mem_b):
-        k, ss, pp = self._flat(mem_a + mem_b)
-        self._lib.poset_merge(self._h, k, ss, pp)
+        ka, sa, pa = self._flat(mem_a)
+        kb, sb, pb = self._flat(mem_b)
+        ss = np.concatenate([sa, sb])
+        pp = np.concatenate([pa, pb])
+        self._lib.poset_merge(self._h, ka + kb, ss.ctypes.data,
+                              pp.ctypes.data)
 
 
 _poset_lib = None
@@ -263,17 +279,17 @@ def _get_poset_lib():
         from ..native import load_library
         lib = load_library("msa_columns")
         if lib is not None:
-            i32p = ctypes.POINTER(ctypes.c_int32)
+            # array args as c_void_p: callers pass numpy .ctypes.data
+            # addresses (cheaper per call than ctypes array construction)
+            vp = ctypes.c_void_p
             lib.poset_new.restype = ctypes.c_void_p
             lib.poset_new.argtypes = [ctypes.c_int,
                                       ctypes.POINTER(ctypes.c_int64)]
             lib.poset_free.argtypes = [ctypes.c_void_p]
             lib.poset_consistent.restype = ctypes.c_int
-            lib.poset_consistent.argtypes = [ctypes.c_void_p, ctypes.c_int,
-                                             i32p, i32p, ctypes.c_int,
-                                             i32p, i32p]
-            lib.poset_merge.argtypes = [ctypes.c_void_p, ctypes.c_int,
-                                        i32p, i32p]
+            lib.poset_consistent.argtypes = [vp, ctypes.c_int, vp, vp,
+                                             ctypes.c_int, vp, vp]
+            lib.poset_merge.argtypes = [vp, ctypes.c_int, vp, vp]
         _poset_lib = lib
     return _poset_lib
 
