@@ -40,14 +40,27 @@ _FILES = {
         "tests/fixtures/test_hdp/dps.txt",
         "tests/test_hdp/dps.txt"),
 }
+# the zymo fasta quintet (reference tests/test_sequences)
+for _n in ("zymo_sequence", "zymo_-r-", "zymo_-r", "zymo_r-", "zymo_r-r"):
+    _FILES[f"{_n}.fasta"] = (f"tests/fixtures/{_n}.fasta",
+                             f"tests/test_sequences/{_n}.fasta")
 
 
 def fixture_path(name: str) -> str:
-    """Absolute path of a vendored data file (reference fallback)."""
+    """Absolute path of a vendored data file.
+
+    Falls back to the read-only reference checkout only when the vendored
+    copy is missing AND ``CPECAN_TPU_NO_REFERENCE`` is unset — setting that
+    env var proves self-containment (the full test suite and bench must
+    pass without /root/reference; see README)."""
     vendored_rel, ref_rel = _FILES[name]
     vendored = os.path.join(_REPO, vendored_rel)
     if os.path.exists(vendored):
         return vendored
+    if os.environ.get("CPECAN_TPU_NO_REFERENCE"):
+        raise FileNotFoundError(
+            f"vendored fixture missing: {vendored} "
+            "(reference fallback disabled by CPECAN_TPU_NO_REFERENCE)")
     return os.path.join(_REFERENCE, ref_rel)
 
 
