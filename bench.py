@@ -80,10 +80,10 @@ def bench_headline(sm, reads, pa):
         outs = []
         for i in range(0, len(reads), chunk):
             o = pa.run(sm, reads[i:i + chunk], compact_k=1024)
-            o["compact"][0].copy_to_host_async()
-            o["compact"][1].copy_to_host_async()
+            for arr in o["compact"]:
+                arr.copy_to_host_async()
             outs.append(o)
-        return [(np.asarray(o["compact"][0]), np.asarray(o["compact"][1]))
+        return [tuple(np.asarray(a) for a in o["compact"])
                 for o in outs], outs
 
     _, outs = run()  # compile + warm
@@ -248,8 +248,8 @@ def bench_family(name, cls, sm, reads, group=64, compact_k=1024):
         outs = []
         for i in range(0, len(reads), chunk):
             o = pa.run(sm, reads[i:i + chunk], compact_k=compact_k)
-            o["compact"][0].copy_to_host_async()
-            o["compact"][1].copy_to_host_async()
+            for arr in o["compact"]:
+                arr.copy_to_host_async()
             outs.append(o)
         return [np.asarray(o["compact"][0]) for o in outs]
 
@@ -522,10 +522,10 @@ def bench_hdp(reads):
         outs = []
         for i in range(0, len(reads), chunk):
             o = pa.run(sm, reads[i:i + chunk], compact_k=2048)
-            o["compact"][0].copy_to_host_async()
-            o["compact"][1].copy_to_host_async()
+            for arr in o["compact"]:
+                arr.copy_to_host_async()
             outs.append(o)
-        return [(np.asarray(o["compact"][0]), np.asarray(o["compact"][1]))
+        return [tuple(np.asarray(a) for a in o["compact"])
                 for o in outs]
 
     run()

@@ -551,6 +551,7 @@ class _EchelonSpec:
     Y_ROWS = 8
     POST_STATES = (1, 2, 3, 4, 5)
     EXP_LANES = None
+    EM_LEAVES = 5  # fwd emission carry is the 5-tuple of per-n terms
 
     @staticmethod
     def emissions(xf, *ys):
@@ -623,7 +624,7 @@ class _EchelonSpec:
 
 
 def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
-                        R, W, spec):
+                        R, W, spec, tile=None):
     """One group of R reads: full forward pass over ND diagonals, computed
     BAND-LOCALLY: every diagonal lives directly in its [R, W] group window
     (band ⊆ window by construction), carries re-align between consecutive
@@ -633,13 +634,40 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
     winf[0, 0, d].  Emission formulas / transition combines come from the
     machine `spec` (window variants fwd_update_w); specs with
     STREAMED=True read per-diagonal emission windows from an HBM stream
-    (HDP density tables) — those windows are already band-local."""
+    (HDP density tables) — those windows are already band-local.
+
+    With ``tile`` (the long-alignment path, matching the reference's
+    O(band*window)-at-any-length banded engine,
+    impl/pairwiseAligner.c:919-1055), one call processes ONE tile of TD
+    diagonals: the x/y feature blocks and band metadata arrive pre-sliced
+    to the tile (VMEM stays O(tile), independent of X), per-group tile
+    scalars ride in ``tscal`` ([d0 metadata-slice origin, dA first
+    diagonal, xoff x-slice origin, cy = C - yoff, is_first]), DP carries
+    chain through carry_in/carry_out ([2S, R, W], raw in their own
+    windows' frames), and the HBM plane is written at ABSOLUTE diagonal
+    indices (input_output-aliased across tile calls).  The untiled path
+    is the special case d0 = xoff = 0, dA = 1, cy = C."""
     streamed = getattr(spec, "STREAMED", False)
-    if streamed:
+    if tile is not None:
+        assert not streamed
+        tscal, carry_in, _plane_prev, out_ref, carry_out, sem, scratch = rest
+        est_ref = escr = None
+        TDL = tile["TDL"]
+        d0 = tscal[0, 0]
+        dA = tscal[0, 1]
+        xoff = tscal[0, 2]
+        cy = tscal[0, 3]
+        first = tscal[0, 4] > 0
+        n_steps = tile["TD"]
+    elif streamed:
         est_ref, out_ref, sem, scratch, escr = rest
+        carry_in = carry_out = None
+        d0, dA, xoff, cy, first, n_steps = 0, 1, 0, C, True, ND
     else:
         est_ref = escr = None
         out_ref, sem, scratch = rest
+        carry_in = carry_out = None
+        d0, dA, xoff, cy, first, n_steps = 0, 1, 0, C, True, ND
     g = pl.program_id(0)
     S = spec.S
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
@@ -647,9 +675,17 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
     t = [scal[0, i] for i in range(spec.NS + 3 * S)]
     S_M = spec.NS
 
+    def ld(d):
+        # local index into the tile's metadata slice (identity untiled);
+        # clamped so selected-away init reads on later tiles stay in
+        # bounds
+        if tile is None:
+            return d
+        return jnp.clip(d - d0, 0, TDL - 1)
+
     def band_mask(d, w):
-        base = _col_select_ref(basef, d)
-        width = _col_select_ref(widthf, d)
+        base = _col_select_ref(basef, ld(d))
+        width = _col_select_ref(widthf, ld(d))
         xl = lanef + w.astype(jnp.float32)
         return (xl >= base) & (xl < base + width)
 
@@ -659,15 +695,32 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
         ls = lane + s
         return jnp.where((ls >= 0) & (ls < W), r, NEG)
 
-    w0 = winf[0, 0, 0]
+    w0 = winf[0, 0, ld(0)]
     m0 = band_mask(0, w0)
     zeros = jnp.zeros((R, W), jnp.float32) + 0.0 * lanef
     prev1 = [jnp.where(m0, zeros + t[S_M + i], NEG) for i in range(S)]
     neg = jnp.full((R, W), NEG, jnp.float32) + 0.0 * lanef
 
-    for i in range(S):
-        scratch[0, i] = prev1[i]
-    pltpu.make_async_copy(scratch.at[0], out_ref.at[g, 0], sem.at[0]).start()
+    if tile is None:
+        for i in range(S):
+            scratch[0, i] = prev1[i]
+        pltpu.make_async_copy(scratch.at[0], out_ref.at[g, 0],
+                              sem.at[0]).start()
+    else:
+        # init (d = 0 start values) only on the first tile; later tiles
+        # resume from the carried DP[dA-1], DP[dA-2] tiles
+        firstf = first.astype(jnp.float32)
+        prev1 = [prev1[i] * firstf + carry_in[0, i] * (1.0 - firstf)
+                 for i in range(S)]
+        prev2 = [neg * firstf + carry_in[0, S + i] * (1.0 - firstf)
+                 for i in range(S)]
+
+        @pl.when(first)
+        def _():
+            for i in range(S):
+                scratch[0, i] = prev1[i]
+            pltpu.make_async_copy(scratch.at[0], out_ref.at[g, 0],
+                                  sem.at[0]).start()
 
     # streamed emission windows are double-buffered: diagonal d+1's DMA is
     # in flight while d computes
@@ -689,24 +742,28 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
     if streamed:
         est_start(1)
 
-    def step(d, carry):
+    def step(s, carry):
+        d = dA + s if tile is not None else s
         p1 = list(carry[:S])
         p2 = list(carry[S:])
-        w = winf[0, 0, d]
-        w1 = winf[0, 0, d - 1]
-        w2 = winf[0, 0, jnp.maximum(d - 2, 0)]
+        w = winf[0, 0, ld(d)]
+        w1 = winf[0, 0, ld(d - 1)]
+        w2 = winf[0, 0, ld(jnp.maximum(d - 2, 0))]
         s1 = w - w1
         s2 = w - w2
         # absolute-x sources: lower/middle at x-1, upper at x
         p1m = [align(v, s1 - 1) for v in p1]
         p1a = [align(v, s1) for v in p1]
         p2m = [align(v, s2 - 1) for v in p2]
-        xfw = _RowSlices(xf, w, W)
+        xfw = _RowSlices(xf, w - xoff, W)
         if streamed:
             e_match = fetch_est(d)
             e_gapy = e_match
         else:
-            ys = [_dyn_lane_slice2(yf, r, C - d + w, W)
+            ystart = cy - d + w
+            if tile is not None:
+                ystart = jnp.maximum(ystart, 0)
+            ys = [_dyn_lane_slice2(yf, r, ystart, W)
                   for r in range(getattr(spec, "Y_ROWS", 2))]
             e_match, e_gapy = spec.emissions(xfw, *ys)
 
@@ -717,7 +774,14 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
 
         slot = d % 2
 
-        @pl.when(d >= 2)
+        if tile is None:
+            wait_pred = d >= 2
+        else:
+            # the d-2 ring slot was started by THIS call (two steps ago,
+            # or the first-tile d=0 pre-write)
+            wait_pred = jnp.where(first, d >= 2, s >= 2)
+
+        @pl.when(wait_pred)
         def _():
             pltpu.make_async_copy(scratch.at[slot], out_ref.at[g, d - 2],
                                   sem.at[slot]).wait()
@@ -728,19 +792,31 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
                               sem.at[slot]).start()
         return tuple(new) + tuple(p1)
 
-    carry = tuple(prev1) + (neg,) * S
+    if tile is None:
+        carry = tuple(prev1) + (neg,) * S
+    else:
+        carry = tuple(prev1) + tuple(prev2)
     # manual 2x unroll (Mosaic's for-loop lowering has no partial unroll):
     # halves loop-control overhead; an odd ND gets a tail step
-    def step2(i, c):
-        return step(2 * i + 2, step(2 * i + 1, c))
+    if tile is None:
+        def step2(i, c):
+            return step(2 * i + 2, step(2 * i + 1, c))
+    else:
+        def step2(i, c):
+            return step(2 * i + 1, step(2 * i, c))
 
-    carry = jax.lax.fori_loop(0, ND // 2, step2, carry)
-    if ND % 2:
-        step(ND, carry)
-    pltpu.make_async_copy(scratch.at[ND % 2], out_ref.at[g, ND],
-                          sem.at[ND % 2]).wait()
-    pltpu.make_async_copy(scratch.at[(ND - 1) % 2], out_ref.at[g, ND - 1],
-                          sem.at[(ND - 1) % 2]).wait()
+    carry = jax.lax.fori_loop(0, n_steps // 2, step2, carry)
+    if n_steps % 2:
+        carry = step(n_steps, carry)
+    dB = dA + n_steps - 1 if tile is not None else ND
+    pltpu.make_async_copy(scratch.at[dB % 2], out_ref.at[g, dB],
+                          sem.at[dB % 2]).wait()
+    pltpu.make_async_copy(scratch.at[(dB - 1) % 2], out_ref.at[g, dB - 1],
+                          sem.at[(dB - 1) % 2]).wait()
+    if tile is not None:
+        # chain carry to the next tile: DP[dB] (raw @ w_dB) then DP[dB-1]
+        for i in range(2 * S):
+            carry_out[0, i] = carry[i]
 
 
 def _masked_lse(v, mask):
@@ -753,9 +829,22 @@ def _masked_lse(v, mask):
 
 def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                          fwd_ref, *rest, X, ND, C, R, W, NP, spec,
-                         with_exp=False):
+                         with_exp=False, tile=None):
     streamed = getattr(spec, "STREAMED", False)
     est_ref = escr = None
+    tscal = carry_in = carry_out = None
+    if tile is not None:
+        assert not streamed and not with_exp
+        (tscal, carry_in, _post_prev, post_ref, tot_ref, carry_out,
+         sems, fscratch, pscratch) = rest
+        return _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf,
+                                    seedf, raggedf, fwd_ref, None,
+                                    post_ref, tot_ref, None, None,
+                                    sems, fscratch, pscratch, None, None,
+                                    X=X, ND=ND, C=C, R=R, W=W, NP=NP,
+                                    spec=spec, with_exp=False, tile=tile,
+                                    tscal=tscal, carry_in=carry_in,
+                                    carry_out=carry_out)
     if streamed:
         est_ref, rest = rest[0], rest[1:]
     post_ref, tot_ref = rest[:2]
@@ -784,7 +873,9 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
 def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                          fwd_ref, est_ref, post_ref, tot_ref, trans_ref,
                          acc_ref, sems, fscratch, pscratch, ascr, escr, *,
-                         X, ND, C, R, W, NP, spec, with_exp=False):
+                         X, ND, C, R, W, NP, spec, with_exp=False,
+                         tile=None, tscal=None, carry_in=None,
+                         carry_out=None):
     """Band-local full backward sweep d = ND..1: every tile lives in its
     diagonal's [R, W] group window; carried tiles re-align between windows
     with one dynamic lane-roll per state.  Forward windows arrive from HBM
@@ -811,10 +902,29 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     FS = 6 if streamed else 4    # flush-DMA semaphore slot (with_exp)
     NACC = getattr(spec, "EXP_NACC", 1)
     needs_y = with_exp and getattr(spec, "EXP_Y_AUX", False)
+    if tile is not None:
+        TDL = tile["TDL"]
+        d0 = tscal[0, 0]
+        dH = tscal[0, 1]
+        xoff = tscal[0, 2]
+        cy = tscal[0, 3]
+        first = tscal[0, 4] > 0
+        last = tscal[0, 5] > 0
+        n_steps = tile["TD"]
+    else:
+        d0, dH, xoff, cy = 0, ND, 0, C
+        first = last = True
+        n_steps = ND
+
+    def ld(d):
+        # local index into the tile's metadata slice (identity untiled)
+        if tile is None:
+            return d
+        return jnp.clip(d - d0, 0, TDL - 1)
 
     def band(d, w):
-        base = _col_select_ref(basef, d)
-        width = _col_select_ref(widthf, d)
+        base = _col_select_ref(basef, ld(d))
+        width = _col_select_ref(widthf, ld(d))
         xl = lanef + w.astype(jnp.float32)
         return (xl >= base) & (xl < base + width)
 
@@ -846,8 +956,11 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
             s = x_start - winf[0, 0, d_em]
             e = align(e, s)
             return e, e
-        xfw = _RowSlices(xf, x_start, W)
-        ys = [_dyn_lane_slice2(yf, r, C - d_em + x_start, W)
+        xfw = _RowSlices(xf, x_start - xoff, W)
+        ystart = cy - d_em + x_start
+        if tile is not None:
+            ystart = jnp.maximum(ystart, 0)
+        ys = [_dyn_lane_slice2(yf, r, ystart, W)
               for r in range(getattr(spec, "Y_ROWS", 2))]
         return spec.emissions(xfw, *ys)
 
@@ -864,21 +977,29 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         pltpu.make_async_copy(fwd_ref.at[g, d], fscratch.at[slot],
                               sems.at[2 + slot]).wait()
 
-    start_fetch(ND, 0)
+    start_fetch(dH, 0)
 
     # The sweep writes diagonals ND..1 only; zero diagonal 0 so the row is
     # deterministic (the saturated-extraction fallback reads the full
     # plane, and uninitialized HBM showed up as run-to-run garbage there).
+    # Tiled runs zero it on the LAST tile (the one that reaches d = 1).
     zrow = jnp.zeros((R, W), jnp.float32) + 0.0 * lanef
-    if len(getattr(spec, "POST_STATES", (0,))) == 1:
-        pscratch[0] = zrow
+
+    def _zero_diag0():
+        if len(getattr(spec, "POST_STATES", (0,))) == 1:
+            pscratch[0] = zrow
+        else:
+            for j in range(len(spec.POST_STATES)):
+                pscratch[0, j] = zrow
+        cp = pltpu.make_async_copy(pscratch.at[0], post_ref.at[g, 0],
+                                   sems.at[0])
+        cp.start()
+        cp.wait()
+
+    if tile is None:
+        _zero_diag0()
     else:
-        for j in range(len(spec.POST_STATES)):
-            pscratch[0, j] = zrow
-    pltpu.make_async_copy(pscratch.at[0], post_ref.at[g, 0],
-                          sems.at[0]).start()
-    pltpu.make_async_copy(pscratch.at[0], post_ref.at[g, 0],
-                          sems.at[0]).wait()
+        pl.when(last)(_zero_diag0)
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
 
@@ -949,12 +1070,12 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
             f1_c = list(carry[2 * S + 3:3 * S + 3])
             trans_c = carry[3 * S + 3]
             p = carry[3 * S + 4]
-        d = ND - s
-        w = winf[0, 0, d]
-        w1 = winf[0, 0, d + 1]
-        w2 = winf[0, 0, jnp.minimum(d + 2, ND + 2)]
-        sa = _col_select_ref(seedf, d)       # 0.0 or 1.0
-        ra = _col_select_ref(raggedf, d)
+        d = dH - s
+        w = winf[0, 0, ld(d)]
+        w1 = winf[0, 0, ld(d + 1)]
+        w2 = winf[0, 0, ld(jnp.minimum(d + 2, dH + 2))]
+        sa = _col_select_ref(seedf, ld(d))       # 0.0 or 1.0
+        ra = _col_select_ref(raggedf, ld(d))
         keep = 1.0 - sa
 
         def cut(v):
@@ -976,8 +1097,8 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         # emissions(d+1) at x, fresh (becomes next step's carry)
         em1, eg1 = emissions_at(d + 1, w)
 
-        xfw = _RowSlices(xf, w, W)
-        xfp = _RowSlices(xf, w + 1, W)
+        xfw = _RowSlices(xf, w - xoff, W)
+        xfp = _RowSlices(xf, w + 1 - xoff, W)
         bw = spec.bwd_update_w(t, xfw, xfp, em1, eg1, em2p, n1a, n1p, n2p)
 
         mask = band(d, w)
@@ -993,7 +1114,12 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         slot = s % 2
         wait_fetch(d, slot)
 
-        @pl.when(d >= 2)
+        # prefetch the next diagonal's forward windows — but never past
+        # this tile's bottom (the next tile call re-issues its own first
+        # fetch; a DMA left in flight at kernel return faults)
+        d_lo = dH - n_steps + 1
+
+        @pl.when((d >= 2) & (d > d_lo))
         def _():
             start_fetch(d - 1, (s + 1) % 2)
 
@@ -1031,7 +1157,7 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         @pl.when(s >= 2)
         def _():
             pltpu.make_async_copy(pscratch.at[pslot],
-                                  post_ref.at[g, ND - (s - 2)],
+                                  post_ref.at[g, dH - (s - 2)],
                                   sems.at[pslot]).wait()
 
         if len(post_states) == 1:
@@ -1049,26 +1175,58 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
             out = out + tuple(f) + (trans_c, p)
         return out
 
-    em_init, eg_init = emissions_at(ND + 2, winf[0, 0, jnp.int32(ND + 1)])
+    em_init, eg_init = emissions_at(dH + 2, winf[0, 0, ld(dH + 1)])
     lift = functools.partial(jax.tree_util.tree_map,
                              lambda v: v + 0.0 * lanef)
-    carry = ((neg,) * (2 * S)
-             + (jnp.full((R, 1), NEG, jnp.float32),
-                lift(em_init), lift(eg_init)))
-    if with_exp:
-        zero128 = jnp.zeros((R, 128), jnp.float32) \
-            + 0.0 * lane128.astype(jnp.float32)
-        carry = carry + (neg,) * S + (zero128,
-                                      winf[0, 0, jnp.int32(ND + 2)] // W)
+    em0, eg0 = lift(em_init), lift(eg_init)
+    if tile is None:
+        carry = ((neg,) * (2 * S)
+                 + (jnp.full((R, 1), NEG, jnp.float32), em0, eg0))
+        if with_exp:
+            zero128 = jnp.zeros((R, 128), jnp.float32) \
+                + 0.0 * lane128.astype(jnp.float32)
+            carry = carry + (neg,) * S + (zero128,
+                                          winf[0, 0, jnp.int32(ND + 2)]
+                                          // W)
+    else:
+        # resume from the carried sweep state unless this is the first
+        # (topmost) tile; carry rows: n1[S], n2[S], total, em leaves,
+        # eg leaves — all raw in their own diagonals' window frames
+        em_leaves, em_def = jax.tree_util.tree_flatten(em0)
+        eg_leaves, eg_def = jax.tree_util.tree_flatten(eg0)
+        n_em = len(em_leaves)
+        firstf = first.astype(jnp.float32)
+
+        def sel(init_v, row):
+            return init_v * firstf + carry_in[0, row] * (1.0 - firstf)
+
+        states = [sel(neg, i) for i in range(2 * S)]
+        tot0 = (jnp.full((R, 1), NEG, jnp.float32) * firstf
+                + carry_in[0, 2 * S][:, 0:1] * (1.0 - firstf))
+        em_c0 = jax.tree_util.tree_unflatten(
+            em_def, [sel(em_leaves[j], 2 * S + 1 + j)
+                     for j in range(n_em)])
+        eg_c0 = jax.tree_util.tree_unflatten(
+            eg_def, [sel(eg_leaves[j], 2 * S + 1 + n_em + j)
+                     for j in range(len(eg_leaves))])
+        carry = tuple(states) + (tot0, em_c0, eg_c0)
     # manual 2x unroll, same rationale as the forward loop
     def step2(i, c):
         return step(2 * i + 1, step(2 * i, c))
 
-    carry = jax.lax.fori_loop(0, ND // 2, step2, carry)
-    if ND % 2:
-        carry = step(ND - 1, carry)
+    carry = jax.lax.fori_loop(0, n_steps // 2, step2, carry)
+    if n_steps % 2:
+        carry = step(n_steps - 1, carry)
     total = carry[2 * S]
     tot_ref[0] = total + jnp.zeros((R, tot_ref.shape[-1]), jnp.float32)
+    if tile is not None:
+        for i in range(2 * S):
+            carry_out[0, i] = carry[i]
+        carry_out[0, 2 * S] = carry[2 * S] + 0.0 * lanef
+        out_leaves = (jax.tree_util.tree_leaves(carry[2 * S + 1])
+                      + jax.tree_util.tree_leaves(carry[2 * S + 2]))
+        for j, leaf in enumerate(out_leaves):
+            carry_out[0, 2 * S + 1 + j] = leaf
 
     if with_exp:
         # epilogue: targets 2 and 1 (the loop covers targets 3..ND+2).
@@ -1116,10 +1274,13 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         cp.start()
         cp.wait()
 
-    pltpu.make_async_copy(pscratch.at[(ND - 1) % 2], post_ref.at[g, 1],
-                          sems.at[(ND - 1) % 2]).wait()
-    pltpu.make_async_copy(pscratch.at[(ND - 2) % 2], post_ref.at[g, 2],
-                          sems.at[(ND - 2) % 2]).wait()
+    d_lo = dH - n_steps + 1   # 1 untiled; the tile's bottom diagonal
+    pltpu.make_async_copy(pscratch.at[(n_steps - 1) % 2],
+                          post_ref.at[g, d_lo],
+                          sems.at[(n_steps - 1) % 2]).wait()
+    pltpu.make_async_copy(pscratch.at[(n_steps - 2) % 2],
+                          post_ref.at[g, d_lo + 1],
+                          sems.at[(n_steps - 2) % 2]).wait()
 
 
 def _round_up(v, m):
@@ -1422,9 +1583,12 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         # band metadata ships as compact anchor chains + (l_x, l_y, n_diag,
         # ragged) per read and is rebuilt on device (_device_bands) — the
         # host->device link is the scarce resource and the full [Bp, NDp]
-        # base/width/seed arrays dwarf the anchors that define them
+        # base/width/seed arrays dwarf the anchors that define them.
+        # int16 suffices below 32k columns; longer references (the tiled
+        # long-alignment path) widen to int32
         A_max = max(1, max(len(r[4]) for r in reads))
-        anch = np.full((Bp, A_max, 2), -1, np.int16)
+        anch = np.full((Bp, A_max, 2), -1,
+                       np.int16 if X < 2 ** 15 else np.int32)
         meta = np.zeros((Bp, 4), np.int32)
         for r, (_x, _y, l_x, l_y, a) in enumerate(reads):
             if len(a):
@@ -1471,11 +1635,6 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         if (np.diff(win, axis=1) < 0).any():
             raise ValueError("non-monotone group window starts (anchor "
                              "chain must be monotone)")
-        if X >= 2 ** 15:
-            raise ValueError(
-                f"reference length {X} exceeds the Pallas aligner's int16 "
-                "band-metadata range (~32k columns); split the alignment "
-                "(ops/anchors.get_split_points) or use the scan engine")
         out_extra = {}
         if scale_params is not None:
             sp = np.ones((Bp, 5), np.float32)
@@ -1530,10 +1689,17 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             seg_x_u = jnp.clip((nxay + (nxmy + exp_)) // 2, 0, l_x)
             seg_y_u = jnp.clip((pxay - (pxmy + exp_)) // 2, 0, l_y)
             d = jnp.arange(NDp, dtype=jnp.int32)
-            # first segment with nxay >= d, as a comparison-sum (tiny
-            # [NDp, n_seg] matrix; jnp.searchsorted lowers much slower)
-            k = jnp.clip(jnp.sum(nxay[None, :] < d[:, None], axis=1), 0,
-                         nxay.shape[0] - 1)
+            # first segment with nxay >= d: a comparison-sum for small
+            # [NDp, n_seg] (jnp.searchsorted lowers much slower there),
+            # binary search when the matrix would be big (long-alignment
+            # tiled path: 100kb+ refs with tens of thousands of lastz
+            # anchors would materialize a multi-GB comparison matrix)
+            if NDp * nxay.shape[0] <= 2 ** 22:
+                k = jnp.clip(jnp.sum(nxay[None, :] < d[:, None], axis=1),
+                             0, nxay.shape[0] - 1)
+            else:
+                k = jnp.clip(jnp.searchsorted(nxay, d, side="left"),
+                             0, nxay.shape[0] - 1)
             nz = d > 0
             x_l = jnp.where(nz, seg_x_l[k], 0)
             y_l = jnp.where(nz, seg_y_l[k], 0)
@@ -1563,7 +1729,27 @@ class StrawmanPallasAligner(_PallasAlignerBase):
     def run(self, sm, reads, ragged_right=False, ragged_left=False,
             compact_k=4096, expectations=False, scale_params=None,
             shape_hint=None, defer_expectations=False, bands=None,
-            mesh=None):
+            mesh=None, tile_diag=None):
+        est_x = _round_up(max(r[2] for r in reads) + 2, 128)
+        if shape_hint is not None:
+            est_x = max(est_x, _round_up(shape_hint[0] + 2, 128))
+        if tile_diag is not None or est_x >= 2 ** 15:
+            # long-alignment tiled path: O(tile) VMEM at any length
+            if mesh is not None:
+                raise NotImplementedError(
+                    "the tiled long-alignment path is single-device; "
+                    "shard long batches across processes instead")
+            if expectations:
+                raise NotImplementedError(
+                    "in-kernel EM expectations run untiled (< 32k "
+                    "columns); split the alignment "
+                    "(ops/anchors.get_split_points) or use the scan "
+                    "engine (get_expectations_using_anchors)")
+            return self._run_tiled(
+                sm, reads, ragged_right=ragged_right,
+                ragged_left=ragged_left, compact_k=compact_k,
+                scale_params=scale_params, bands=bands,
+                tile_diag=tile_diag)
         if mesh is not None:
             return self._run_mesh(
                 sm, reads, mesh=mesh, ragged_right=ragged_right,
@@ -1733,15 +1919,14 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                 fwd = fwd_fn(scal, win3, xf, yf, basef, widthf)
                 posts, totals = bwd_fn(scal, win3, xf, yf, basef, widthf,
                                        seedf, raggedf, fwd)
-                cv, ci = compact_posteriors(posts, k_eff)
-                return posts, totals, cv, ci
+                return (posts, totals) + compact_posteriors(posts, k_eff)
 
             self._cache[key] = jax.jit(shard_map(
                 go, mesh=mesh, in_specs=(P(),) + (P(axis),) * 7,
-                out_specs=(P(axis),) * 4, check_vma=False))
-        posts, totals, cv, ci = self._cache[key](
+                out_specs=(P(axis),) * 5, check_vma=False))
+        posts, totals, *comp = self._cache[key](
             scal, win3, xf, yf, basef, widthf, seedf, raggedf)
-        out.update(posteriors=posts, totals=totals, compact=(cv, ci))
+        out.update(posteriors=posts, totals=totals, compact=tuple(comp))
         return out
 
     def _exp_reduce_aux(self, sm, prep):
@@ -1958,6 +2143,322 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         fns = (jax.jit(fwd), make_bwd(False), make_bwd(True))
         self._cache[key] = fns
         return fns
+
+    def _fns_tiled(self, XT, YT, TDL, TD, NDT, W):
+        """Per-tile pallas callables for the long-alignment path: one call
+        sweeps TD diagonals with O(tile) VMEM (features and band metadata
+        pre-sliced), chaining DP carries and writing the HBM planes at
+        absolute diagonal indices (input_output-aliased across calls) —
+        the reference's O(band*window)-memory-at-any-length banded engine
+        (impl/pairwiseAligner.c:919-1055) as a tiled TPU sweep."""
+        key = ("tiledfns", XT, YT, TDL, TD, NDT, W, self.group,
+               self.spec.__name__)
+        if key in self._cache:
+            return self._cache[key]
+        R = self.group
+        S = self.spec.S
+        spec = self.spec
+        YR = getattr(spec, "Y_ROWS", 2)
+        NPS = len(getattr(spec, "POST_STATES", (0,)))
+        n_em = getattr(spec, "EM_LEAVES", 1)
+        NC = 2 * S + 1 + n_em + 1
+        tile = dict(TD=TD, TDL=TDL)
+
+        fwd_kernel = functools.partial(_sm3_forward_kernel, X=XT, ND=NDT,
+                                       C=0, R=R, W=W, spec=spec, tile=tile)
+        bwd_kernel = functools.partial(_sm3_backward_kernel, X=XT, ND=NDT,
+                                       C=0, R=R, W=W, NP=0, spec=spec,
+                                       with_exp=False, tile=tile)
+
+        def vspec(shape):
+            return pl.BlockSpec(
+                shape, (lambda g: (g,) + (0,) * (len(shape) - 1)),
+                memory_space=pltpu.VMEM)
+
+        common_in = [
+            pl.BlockSpec((1, spec.NS + 3 * S), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, TDL), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            vspec((R, spec.NXF, XT)),
+            vspec((R, YR, YT)),
+            vspec((R, TDL)),
+            vspec((R, TDL)),
+        ]
+        tscal_spec = pl.BlockSpec((1, 8), lambda g: (g, 0),
+                                  memory_space=pltpu.SMEM)
+
+        def fwd(scal, win_t, xf_t, yf_t, basef_t, widthf_t, tscal, carry,
+                plane):
+            G = xf_t.shape[0] // R
+            return pl.pallas_call(
+                fwd_kernel,
+                grid=(G,),
+                in_specs=common_in + [tscal_spec,
+                                      vspec((1, 2 * S, R, W)),
+                                      pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                           vspec((1, 2 * S, R, W))],
+                out_shape=[
+                    jax.ShapeDtypeStruct((G, NDT + 1, S, R, W),
+                                         jnp.float32),
+                    jax.ShapeDtypeStruct((G, 2 * S, R, W), jnp.float32)],
+                scratch_shapes=[
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.VMEM((2, S, R, W), jnp.float32),
+                ],
+                input_output_aliases={8: 0},
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+                interpret=self.interpret,
+            )(scal, win_t, xf_t, yf_t, basef_t, widthf_t, tscal, carry,
+              plane)
+
+        post_shape = ((NDT + 1, R, W) if NPS == 1
+                      else (NDT + 1, NPS, R, W))
+
+        def bwd(scal, win_t, xf_t, yf_t, basef_t, widthf_t, seedf_t,
+                raggedf_t, fwd_plane, tscal, carry, post):
+            G = xf_t.shape[0] // R
+            return pl.pallas_call(
+                bwd_kernel,
+                grid=(G,),
+                in_specs=common_in + [
+                    vspec((R, TDL)),
+                    vspec((R, TDL)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    tscal_spec,
+                    vspec((1, NC, R, W)),
+                    pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                           pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0),
+                                        memory_space=pltpu.VMEM),
+                           vspec((1, NC, R, W))],
+                out_shape=[
+                    jax.ShapeDtypeStruct((G,) + post_shape, jnp.float32),
+                    jax.ShapeDtypeStruct((G, R, 128), jnp.float32),
+                    jax.ShapeDtypeStruct((G, NC, R, W), jnp.float32)],
+                scratch_shapes=[
+                    pltpu.SemaphoreType.DMA((4,)),
+                    pltpu.VMEM((2, S, R, W), jnp.float32),
+                    pltpu.VMEM((2, R, W) if NPS == 1
+                               else (2, NPS, R, W), jnp.float32),
+                ],
+                input_output_aliases={11: 0},
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+                interpret=self.interpret,
+            )(scal, win_t, xf_t, yf_t, basef_t, widthf_t, seedf_t,
+              raggedf_t, fwd_plane, tscal, carry, post)
+
+        self._cache[key] = (fwd, bwd, NC)
+        return self._cache[key]
+
+    def _tile_steps(self, XT, YT, TDL, TD, NDT, W, XFL, YFL):
+        """Jitted per-tile drivers: XLA slices the tile's feature blocks
+        and band metadata out of the full device arrays (per-group x/y
+        origins), then runs the tiled kernels.  One compile serves every
+        tile — tile origins are traced scalars."""
+        key = ("tilestep", XT, YT, TDL, TD, NDT, W, XFL, YFL, self.group,
+               self.spec.__name__)
+        if key in self._cache:
+            return self._cache[key]
+        R = self.group
+        NXF = self.spec.NXF
+        YR = getattr(self.spec, "Y_ROWS", 2)
+        fwd_p, bwd_p, NC = self._fns_tiled(XT, YT, TDL, TD, NDT, W)
+
+        def slices(d0, xoffs, yoffs, xfp, yfp, win3, basef, widthf):
+            G = xoffs.shape[0]
+            Bp = basef.shape[0]
+            z = jnp.zeros((), d0.dtype)
+            win_t = jax.lax.dynamic_slice(win3, (z, z, d0), (G, 1, TDL))
+            basef_t = jax.lax.dynamic_slice(basef, (z, d0), (Bp, TDL))
+            widthf_t = jax.lax.dynamic_slice(widthf, (z, d0), (Bp, TDL))
+            xfg = xfp.reshape(G, R, NXF, XFL)
+            xf_t = jax.vmap(
+                lambda a, o: jax.lax.dynamic_slice(
+                    a, (jnp.zeros((), o.dtype),) * 2 + (o,),
+                    (R, NXF, XT)))(xfg, xoffs)
+            yfg = yfp.reshape(G, R, YR, YFL)
+            yf_t = jax.vmap(
+                lambda a, o: jax.lax.dynamic_slice(
+                    a, (jnp.zeros((), o.dtype),) * 2 + (o,),
+                    (R, YR, YT)))(yfg, yoffs)
+            return (win_t, xf_t.reshape(G * R, NXF, XT),
+                    yf_t.reshape(G * R, YR, YT), basef_t, widthf_t)
+
+        def fwd_step(d0, tsc, xoffs, yoffs, scal, xfp, yfp, win3, basef,
+                     widthf, carry, plane):
+            win_t, xf_t, yf_t, basef_t, widthf_t = slices(
+                d0, xoffs, yoffs, xfp, yfp, win3, basef, widthf)
+            return fwd_p(scal, win_t, xf_t, yf_t, basef_t, widthf_t,
+                         tsc, carry, plane)
+
+        def bwd_step(d0, tsc, xoffs, yoffs, scal, xfp, yfp, win3, basef,
+                     widthf, seedf, raggedf, fwd_plane, carry, post):
+            win_t, xf_t, yf_t, basef_t, widthf_t = slices(
+                d0, xoffs, yoffs, xfp, yfp, win3, basef, widthf)
+            Bp = basef.shape[0]
+            z = jnp.zeros((), d0.dtype)
+            seedf_t = jax.lax.dynamic_slice(seedf, (z, d0), (Bp, TDL))
+            raggedf_t = jax.lax.dynamic_slice(raggedf, (z, d0), (Bp, TDL))
+            return bwd_p(scal, win_t, xf_t, yf_t, basef_t, widthf_t,
+                         seedf_t, raggedf_t, fwd_plane, tsc, carry, post)
+
+        fns = (jax.jit(fwd_step, donate_argnums=(10, 11)),
+               jax.jit(bwd_step, donate_argnums=(13, 14)), NC)
+        self._cache[key] = fns
+        return fns
+
+    def _run_tiled(self, sm, reads, *, ragged_right=False,
+                   ragged_left=False, compact_k=4096, scale_params=None,
+                   bands=None, tile_diag=None):
+        """Long-alignment fast path: the band-local wavefront sweeps run
+        as a chain of TD-diagonal tiles, so VMEM is O(tile) and HBM is
+        O(band plane) at ANY reference length — the capability class of
+        the reference's banded engine (impl/pairwiseAligner.c:919-1055),
+        which is O(band x window) memory at any length.  Results are
+        bit-identical to the untiled kernels (same per-diagonal compute,
+        carries chained raw in their windows' frames); posteriors are
+        compacted per diagonal chunk (`compact_chunks`) and extracted
+        with extract_pairs_long."""
+        if getattr(self.spec, "STREAMED", False):
+            raise NotImplementedError(
+                "streamed (HDP) specs have no tiled long-alignment path; "
+                "split the alignment (ops/anchors.get_split_points)")
+        prep = self.prepare(sm, reads, ragged_right=ragged_right,
+                            scale_params=scale_params, bands=bands)
+        X, ND, C, W = prep["X"], prep["ND"], prep["C"], prep["W"]
+        R = prep["R"]
+        Bp = prep["Bp"]
+        G = Bp // R
+        S = self.spec.S
+        TD = int(tile_diag or 2048)
+        TD = max(128, (TD // 128) * 128)
+        NT = -(-ND // TD)
+        NDT = NT * TD
+        NDp2 = _round_up(NDT + 3, 128) + 128
+
+        win = prep["win"]
+        if NDp2 > win.shape[1]:
+            win_e = np.concatenate(
+                [win, np.repeat(win[:, -1:], NDp2 - win.shape[1], 1)], 1)
+        else:
+            win_e = win[:, :NDp2]
+
+        A = prep["anch"].shape[1]
+        anch_d = jax.device_put(prep["anch"])
+        meta_d = jax.device_put(prep["meta"])
+        basef, widthf, seedf, raggedf = self._device_bands(NDp2, A)(
+            anch_d, meta_d)
+        xf, yf = self._device_features(sm, prep)
+        PADX = 512
+        xfp = jnp.pad(xf, ((0, 0), (0, 0), (0, PADX)))
+        yfp = jnp.pad(yf, ((0, 0), (0, 0), (0, PADX)))
+        XFL = int(xfp.shape[-1])
+        YFL = int(yfp.shape[-1])
+        win3_e = jax.device_put(
+            np.ascontiguousarray(win_e[:, None, :]).astype(np.int32))
+
+        # host tile plan: per-(group, tile) x/y slice origins
+        TDL = TD + 128
+        t_arange = np.arange(NT)
+        wmin = np.empty((G, NT), np.int64)
+        wmax = np.empty((G, NT), np.int64)
+        for t in range(NT):
+            lo = max(t * TD - 2, 0)
+            hi = min(t * TD + TD + 3, NDp2)
+            seg = win_e[:, lo:hi]
+            wmin[:, t] = seg.min(axis=1)
+            wmax[:, t] = seg.max(axis=1)
+        xoff = (wmin // 128) * 128
+        XT = int(_round_up(int((wmax - xoff).max()) + W + 256, 128))
+        XT = min(XT, XFL)
+        xoff = np.clip(xoff, 0, XFL - XT)
+        if int((wmax + W + 129 - xoff).max()) > XT:
+            raise ValueError(
+                "anchor-chain x-span of one diagonal tile exceeds the "
+                "tile window; split the alignment at the big gap "
+                "(ops/anchors.get_split_points) or raise tile_diag")
+        dhi = t_arange * TD + TD + 2
+        dlo = np.maximum(t_arange * TD - 1, 0)
+        ymin = C - dhi[None, :] + wmin
+        ymax = C - dlo[None, :] + wmax + W + 129
+        yoff = np.clip((ymin // 128) * 128 - 128, 0, None)
+        YT = int(_round_up(int((ymax - yoff).max()) + 128, 128))
+        YT = min(YT, YFL)
+        yoff = np.clip(yoff, 0, YFL - YT)
+        if int((ymax - yoff).max()) > YT:
+            raise ValueError("tile y-span exceeds the tile window; "
+                             "raise tile_diag or split the alignment")
+        cys = (C - yoff).astype(np.int64)
+        d0s = np.maximum(t_arange * TD - 2, 0)
+
+        tsf = np.zeros((NT, G, 8), np.int32)
+        tsb = np.zeros((NT, G, 8), np.int32)
+        for t in range(NT):
+            tsf[t, :, 0] = d0s[t]
+            tsf[t, :, 1] = t * TD + 1          # dA
+            tsf[t, :, 2] = xoff[:, t]
+            tsf[t, :, 3] = cys[:, t]
+            tsf[t, :, 4] = 1 if t == 0 else 0
+            tsb[t, :, 0] = d0s[t]
+            tsb[t, :, 1] = t * TD + TD         # dH
+            tsb[t, :, 2] = xoff[:, t]
+            tsb[t, :, 3] = cys[:, t]
+            tsb[t, :, 4] = 1 if t == NT - 1 else 0
+            tsb[t, :, 5] = 1 if t == 0 else 0
+        tsf_d = jax.device_put(tsf)
+        tsb_d = jax.device_put(tsb)
+        d0s_d = jax.device_put(d0s.astype(np.int32))
+        xoff_d = jax.device_put(xoff.astype(np.int32))
+        yoff_d = jax.device_put(yoff.astype(np.int32))
+
+        fwd_step, bwd_step, NC = self._tile_steps(XT, YT, TDL, TD, NDT, W,
+                                                  XFL, YFL)
+        scal = self._scalars(sm, ragged_left=ragged_left)
+        NPS = len(getattr(self.spec, "POST_STATES", (0,)))
+        plane = jnp.zeros((G, NDT + 1, S, R, W), jnp.float32)
+        carry = jnp.zeros((G, 2 * S, R, W), jnp.float32)
+        for t in range(NT):
+            plane, carry = fwd_step(d0s_d[t], tsf_d[t], xoff_d[:, t],
+                                    yoff_d[:, t], scal, xfp, yfp, win3_e,
+                                    basef, widthf, carry, plane)
+        post_shape = ((G, NDT + 1, R, W) if NPS == 1
+                      else (G, NDT + 1, NPS, R, W))
+        post = jnp.zeros(post_shape, jnp.float32)
+        bcarry = jnp.zeros((G, NC, R, W), jnp.float32)
+        totals = None
+        for t in reversed(range(NT)):
+            post, totals, bcarry = bwd_step(
+                d0s_d[t], tsb_d[t], xoff_d[:, t], yoff_d[:, t], scal,
+                xfp, yfp, win3_e, basef, widthf, seedf, raggedf, plane,
+                bcarry, post)
+
+        out = {"posteriors": post, "totals": totals, "prep": prep}
+        # per-diagonal-chunk exact top-k compaction (one full-plane top-k
+        # over hundreds of thousands of diagonals is where lax.top_k
+        # falls over; per-TD chunks keep each call small and the union
+        # exact per chunk)
+        global _compact_jit
+        if _compact_jit is None:
+            _compact_jit = jax.jit(compact_posteriors, static_argnums=1)
+        DC = TD
+        kc = min(compact_k, DC * W)
+        ck_key = ("tilecompact", NDT, DC, kc, NPS, R, W, G)
+        if ck_key not in self._cache:
+            def cc(post, off):
+                off = jnp.asarray(off, jnp.int32)
+                z = jnp.zeros((), jnp.int32)
+                sl = (z, off) + (z,) * (len(post_shape) - 2)
+                sz = (G, DC + 1) + post_shape[2:]
+                ch = jax.lax.dynamic_slice(post, sl, sz)
+                return compact_posteriors(ch, kc)
+            self._cache[ck_key] = jax.jit(cc)
+        cc = self._cache[ck_key]
+        offs = np.arange(0, NDT, DC)
+        out["compact_chunks"] = [(int(o), cc(post, int(o))) for o in offs]
+        out["tiled"] = dict(TD=TD, NT=NT, NDT=NDT, DC=DC)
+        return out
 
 
 class VanillaPallasAligner(StrawmanPallasAligner):
@@ -2770,8 +3271,14 @@ def compact_posteriors(posts, k=4096):
     full-tensor top-k work (lax.top_k over the full plane dominates
     otherwise).
 
-    posts: [G, ND+1, R, W] -> (values [G, R, k] u16, flat_idx [G, R, k])
-    where flat_idx encodes (d-1) * W + l (diagonal 0 is never emitted).
+    posts: [G, ND+1, R, W] -> (values [G, R, k] u16, drow [G, R, k],
+    lane [G, R, k]) where the flat plane index (d-1) * W' + l (diagonal 0
+    is never emitted; W' = NP*W for multi-state windows) ships SPLIT as
+    drow = flat // W and lane = flat % W, in the narrowest dtypes the
+    static shapes allow (drow u16 when the diagonal-row count fits, lane
+    u8 when W <= 256) — the int32 index half of the compacted pairs was
+    the headline path's dominant D2H transfer, and (u16, u8) is 3 bytes
+    against its 4.  Extractors rebuild flat = drow * W + lane in int64.
     Values ship as u16 fixed point (p * 65535, clipped to [0, 1] — the
     extractors' min(p, 1) applied early): 1.5e-5 absolute score error,
     ~40x below the kernel-vs-engine f32 drift, for another third off the
@@ -2811,7 +3318,10 @@ def compact_posteriors(posts, k=4096):
     vals, sub = jax.lax.top_k(cand, min(k, kp * POOL))
     idx = jnp.take_along_axis(full, sub, axis=-1)
     qv = jnp.round(jnp.clip(vals, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
-    return qv, idx
+    n_rows = p.shape[2]  # diagonal rows in the flat plane (incl. pad)
+    d_dt = jnp.uint16 if n_rows < 65536 else jnp.int32
+    l_dt = jnp.uint8 if W <= 256 else jnp.uint16
+    return qv, (idx // W).astype(d_dt), (idx % W).astype(l_dt)
 
 
 def _compact_row(vals, g, r):
@@ -2827,19 +3337,35 @@ def _compact_row(vals, g, r):
 _compact_jit = None
 
 
+def _flat_ix(compact_tail, W, sel=None):
+    """Rebuild int64 flat plane indices from the split (drow, lane) wire
+    format (compact_posteriors); a legacy single int32 array passes
+    through."""
+    if len(compact_tail) == 1:
+        ix = np.asarray(compact_tail[0])
+        return (ix if sel is None else ix[sel]).astype(np.int64)
+    drow, lane = (np.asarray(a) for a in compact_tail)
+    if sel is not None:
+        drow, lane = drow[sel], lane[sel]
+    return drow.astype(np.int64) * W + lane.astype(np.int64)
+
+
 def extract_pairs_compact(vals, idx, read_idx, n_diag, prep, threshold,
                           as_array=False):
     """Host-side pair extraction from compacted (top-k) windowed
     posteriors (vectorized — per-pair Python loops dominate the batch
-    pipeline's host time otherwise).  ``as_array`` returns an [N, 3]
-    int64 (score, x, y) array instead of a tuple list (saves the
-    array->tuple->array churn in batch pipelines)."""
+    pipeline's host time otherwise).  ``idx`` is the (drow, lane) tuple
+    of the split wire format (or a legacy flat int32 array).
+    ``as_array`` returns an [N, 3] int64 (score, x, y) array instead of
+    a tuple list (saves the array->tuple->array churn in batch
+    pipelines)."""
     from ..constants import PAIR_ALIGNMENT_PROB_1
     R, W = prep["R"], prep["W"]
     win = prep["win"]
     g, r = divmod(read_idx, R)
     v = _compact_row(vals, g, r)
-    ix = np.asarray(idx[g, r]).astype(np.int64)
+    tail = idx if isinstance(idx, tuple) else (idx,)
+    ix = _flat_ix(tuple(a[g, r] for a in tail), W)
     d = ix // W + 1
     keep = (v >= threshold) & (d <= n_diag)
     v = v[keep]
@@ -2859,10 +3385,11 @@ def extract_echelon_pairs(out, read_idx, n_diag, threshold):
     (diagonalCalculationMultiPosteriorMatchProbs,
     impl/pairwiseAligner.c:845-856): a cell in state match_s above
     threshold emits s pairs (x+n-1, y-1) for n < s.  Reads the compacted
-    top-k (flat idx = (d-1)*NP*W + state*W + lane), falling back to the
-    full plane when the top-k saturates."""
+    top-k (flat idx = (d-1)*NP*W + state*W + lane, shipped split as
+    drow/lane over the NP*W-wide plane), falling back to the full plane
+    when the top-k saturates."""
     from ..constants import PAIR_ALIGNMENT_PROB_1
-    vals, idx = out["compact"]
+    vals, *idx = out["compact"]
     prep = out["prep"]
     R, W = prep["R"], prep["W"]
     NP = out["posteriors"].shape[2]
@@ -2890,7 +3417,7 @@ def extract_echelon_pairs(out, read_idx, n_diag, threshold):
             emit(sub[d, j, l], int(d), int(j), int(l))
         return pairs
 
-    ix = np.asarray(idx[g, r])
+    ix = _flat_ix(tuple(a[g, r] for a in idx), NP * W)
     keep = v >= threshold
     for p, fi in zip(v[keep], ix[keep]):
         fi = int(fi)
@@ -2909,7 +3436,8 @@ def extract_pairs_auto(out, read_idx, n_diag, threshold, as_array=False):
     if out["posteriors"].ndim == 5:
         raise ValueError("multi-state posterior output: use "
                          "extract_echelon_pairs")
-    vals, idx = out["compact"]
+    vals, *idx = out["compact"]
+    idx = tuple(idx)
     prep = out["prep"]
     R = prep["R"]
     g, r = divmod(read_idx, R)
@@ -2948,7 +3476,7 @@ def extract_pairs_chunk(out, rels, n_diags, threshold):
     full-plane path, like ``extract_pairs_auto``.
     """
     from ..constants import PAIR_ALIGNMENT_PROB_1
-    vals, idx = out["compact"]
+    vals, *idx = out["compact"]
     prep = out["prep"]
     R, W = prep["R"], prep["W"]
     win = np.asarray(prep["win"])
@@ -2959,7 +3487,8 @@ def extract_pairs_chunk(out, rels, n_diags, threshold):
     v = v.reshape(-1, k)[rels]
     if v.dtype == np.uint16:
         v = v.astype(np.float32) / np.float32(65535.0)
-    ix = np.asarray(idx).reshape(-1, k)[rels].astype(np.int64)
+    ix = _flat_ix(tuple(np.asarray(a).reshape(-1, k) for a in idx), W,
+                  sel=rels)
     sat = (v[:, -1] >= threshold) if k else np.zeros(len(rels), bool)
     d = ix // W + 1
     keep = (v >= threshold) & (d <= nd[:, None]) & ~sat[:, None]
@@ -2995,7 +3524,7 @@ def extract_echelon_pairs_chunk(out, rels, n_diags, threshold):
     Saturated reads fall back to the per-read path.
     """
     from ..constants import PAIR_ALIGNMENT_PROB_1
-    vals, idx = out["compact"]
+    vals, *idx = out["compact"]
     prep = out["prep"]
     R, W = prep["R"], prep["W"]
     NP = out["posteriors"].shape[2]
@@ -3007,7 +3536,8 @@ def extract_echelon_pairs_chunk(out, rels, n_diags, threshold):
     v = v.reshape(-1, k)[rels]
     if v.dtype == np.uint16:
         v = v.astype(np.float32) / np.float32(65535.0)
-    ix = np.asarray(idx).reshape(-1, k)[rels].astype(np.int64)
+    ix = _flat_ix(tuple(np.asarray(a).reshape(-1, k) for a in idx),
+                  NP * W, sel=rels)
     sat = (v[:, -1] >= threshold) if k else np.zeros(len(rels), bool)
     d = ix // (NP * W) + 1
     j = ix % (NP * W) // W
@@ -3044,3 +3574,52 @@ def extract_echelon_pairs_chunk(out, rels, n_diags, threshold):
                           np.int64).reshape(-1, 3)
         parts[i] = full[np.argsort(full[:, 1] + full[:, 2], kind="stable")]
     return parts
+
+
+def extract_pairs_long(out, read_idx, n_diag, threshold, as_array=False):
+    """Pair extraction for tiled long-alignment runs (_run_tiled): the
+    posteriors were compacted per diagonal chunk (``compact_chunks``,
+    each an exact top-k over DC diagonals); each chunk extracts like
+    extract_pairs_compact with its diagonal offset applied, and a chunk
+    whose top-k saturated falls back to that read's chunk rows of the
+    full windowed plane.  Returns (score, x, y) rows sorted by diagonal
+    (matching extract_pairs_auto + the pipelines' stable drain order)."""
+    from ..constants import PAIR_ALIGNMENT_PROB_1
+    prep = out["prep"]
+    R, W = prep["R"], prep["W"]
+    win = prep["win"]
+    DC = out["tiled"]["DC"]
+    g, r = divmod(read_idx, R)
+    parts = []
+    for off, comp in out["compact_chunks"]:
+        if off >= n_diag:
+            break
+        vals = comp[0]
+        v = _compact_row(vals, g, r)
+        sat = v.size > 0 and float(v[-1]) >= threshold
+        if not sat:
+            ix = _flat_ix(tuple(np.asarray(a)[g, r] for a in comp[1:]), W)
+            d = ix // W + 1 + off
+            keep = (v >= threshold) & (d <= n_diag)
+            d = d[keep]
+            l = ix[keep] % W
+            p = v[keep].astype(np.float64)
+        else:
+            # saturated chunk: read this read's rows of the full plane
+            hi = min(off + DC, n_diag)
+            sub = np.asarray(out["posteriors"][g, off + 1: hi + 1, r])
+            d_i, l = np.nonzero(sub >= threshold)
+            d = d_i.astype(np.int64) + off + 1
+            p = np.minimum(sub[d_i, l].astype(np.float64), 1.0)
+        x = win[g, np.minimum(d, win.shape[1] - 1)].astype(np.int64) + l
+        y = d - x
+        ok = (x >= 1) & (y >= 1)
+        scores = np.floor(np.minimum(p[ok], 1.0)
+                          * PAIR_ALIGNMENT_PROB_1).astype(np.int64)
+        part = np.stack([scores, x[ok] - 1, y[ok] - 1], axis=1)
+        parts.append(part[np.argsort(d[ok], kind="stable")])
+    ap = (np.concatenate(parts, axis=0) if parts
+          else np.zeros((0, 3), np.int64))
+    if as_array:
+        return ap
+    return list(map(tuple, ap.tolist()))

@@ -335,7 +335,7 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
             # (and both under the next chunk's), instead of serializing
             # their ~100-250 ms tunnel latencies at drain time
             if mesh is None:
-                for arr in outs[strand]["compact"][:2]:
+                for arr in outs[strand]["compact"]:
                     arr.copy_to_host_async()
         return outs
 
@@ -346,8 +346,7 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
         # one device->host transfer per strand-chunk (per-read slices of
         # device arrays would each pay the full transfer latency)
         for out in outs.values():
-            vals, idx = out["compact"]
-            out["compact"] = (np.asarray(vals), np.asarray(idx))
+            out["compact"] = tuple(np.asarray(a) for a in out["compact"])
 
         # pair extraction is ONE vectorized pass per strand over the whole
         # chunk (per-read extract_pairs_auto calls were the drain's

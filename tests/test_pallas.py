@@ -161,7 +161,8 @@ def test_compact_extraction_matches_full(template_model, fixture_reads):
     params = AlignmentParams()
     pa = StrawmanPallasAligner(params, interpret=True)
     out = pa.run(sm, fixture_reads)
-    vals, idx = out["compact"]
+    vals, *idx = out["compact"]
+    idx = tuple(idx)
     prep = out["prep"]
     for i in range(len(fixture_reads)):
         full = extract_pairs_from_pallas(out, i, params.threshold)

@@ -32,10 +32,10 @@ def _bench(name, pa, sm, reads, compact_k, chunks, run_kw=None):
         for i in range(0, len(reads), chunk):
             o = pa.run(sm, reads[i:i + chunk], compact_k=compact_k,
                        shape_hint=hint, **run_kw)
-            o["compact"][0].copy_to_host_async()
-            o["compact"][1].copy_to_host_async()
+            for arr in o["compact"]:
+                arr.copy_to_host_async()
             outs.append(o)
-        return [(np.asarray(o["compact"][0]), np.asarray(o["compact"][1]))
+        return [tuple(np.asarray(a) for a in o["compact"])
                 for o in outs]
 
     for chunk in chunks:

@@ -75,11 +75,11 @@ def main():
             outs = []
             for i in range(0, len(reads), chunk):
                 o = pa.run(sm, reads[i:i + chunk], compact_k=2048)
-                o["compact"][0].copy_to_host_async()
-                o["compact"][1].copy_to_host_async()
+                for arr in o["compact"]:
+                    arr.copy_to_host_async()
                 outs.append(o)
-            return [(np.asarray(o["compact"][0]),
-                     np.asarray(o["compact"][1])) for o in outs]
+            return [tuple(np.asarray(a) for a in o["compact"])
+                    for o in outs]
 
         chunked()
         dt = _med(chunked)
@@ -89,10 +89,9 @@ def main():
         # --- one big 256-read run (single density build + kernels) ---
         def big():
             out = pa.run(sm, reads, compact_k=2048)
-            out["compact"][0].copy_to_host_async()
-            out["compact"][1].copy_to_host_async()
-            return (np.asarray(out["compact"][0]),
-                    np.asarray(out["compact"][1]))
+            for arr in out["compact"]:
+                arr.copy_to_host_async()
+            return tuple(np.asarray(a) for a in out["compact"])
 
         try:
             big()

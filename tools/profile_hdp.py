@@ -163,13 +163,13 @@ def main():
     print(f"bwd kernel     {t_bwd * 1e3:8.1f} ms")
 
     out_full = pa.run(sm, sub, compact_k=2048)
-    ci, cv = out_full["compact"][:2]
+    comp = out_full["compact"]
 
     def d2h():
-        return np.asarray(ci), np.asarray(cv)
+        return tuple(np.asarray(a) for a in comp)
 
     t_d2h = _med(d2h)
-    nb = ci.nbytes + cv.nbytes
+    nb = sum(a.nbytes for a in comp)
     print(f"d2h compact    {t_d2h * 1e3:8.1f} ms   {nb / 1e6:.2f} MB "
           f"({nb / t_d2h / 1e6:.1f} MB/s)")
 
