@@ -34,6 +34,7 @@ vs_baseline is the ratio against the first recorded TPU measurement
 """
 
 import json
+import os
 import sys
 import time
 
@@ -128,6 +129,45 @@ def bench_device_only(sm, reads, pa):
     cells = int(sum(b.width.sum() for b in prep["bands"]))
     _emit("device_banded_cells_per_sec", cells / dt,
           f"DP band cells/s, fwd+bwd kernels only (batch={len(reads)})")
+
+
+def bench_long_read():
+    """Chromosome-scale single alignment through the tiled fast path
+    (ops/pallas_fb.py::_run_tiled): one 100kb well-anchored DNA pair,
+    e2e (upload -> tiled fwd/bwd sweeps with per-tile log re-centering
+    -> per-chunk compaction -> D2H -> extraction).  The reference's
+    banded engine runs any length at O(band x window) memory
+    (impl/pairwiseAligner.c:919-1055); this is the TPU equivalent."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from exp_long_read import synth_dna_pair
+    from cpecan_tpu.align import AlignmentParams
+    from cpecan_tpu.models.state_machines import StateMachine5
+    from cpecan_tpu.ops.pallas_fb import (Dna5PallasAligner,
+                                          extract_pairs_long)
+
+    rng = np.random.default_rng(7)
+    read = synth_dna_pair(rng, 100_000)
+    sm = StateMachine5()
+    params = AlignmentParams()
+    pa = Dna5PallasAligner(params, group=8)
+
+    def run():
+        out = pa.run(sm, [read], compact_k=2048, tile_diag=2048)
+        for _off, comp in out["compact_chunks"]:
+            for a in comp:
+                a.copy_to_host_async()
+        nd = out["prep"]["bands"][0].n_diag
+        return extract_pairs_long(out, 0, nd, params.threshold,
+                                  as_array=True)
+
+    pairs = run()
+    n_x = len(np.unique(pairs[:, 1]))
+    assert n_x >= 0.98 * read[2], (n_x, read[2])  # full-length coverage
+    dt = _median_time(run)
+    _emit("long_read_bases_per_sec", (read[2] + read[3]) / dt,
+          "bases/s (one 100kb DNA pair, tiled fast path, e2e incl. "
+          "extraction)")
 
 
 def bench_dna_realign():
@@ -567,6 +607,7 @@ def main():
     pa = StrawmanPallasAligner(AlignmentParams(), interpret=False, group=64)
     bench_headline(sm, reads, pa)
     for fn in (lambda: bench_device_only(sm, reads, pa),
+               bench_long_read,
                bench_dna_realign,
                bench_dna_em,
                lambda: bench_signal_em(sm, reads),

@@ -835,8 +835,8 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
     tscal = carry_in = carry_out = None
     if tile is not None:
         assert not streamed and not with_exp
-        (tscal, carry_in, _post_prev, post_ref, tot_ref, carry_out,
-         sems, fscratch, pscratch) = rest
+        (tscal, shf_ref, carry_in, _post_prev, post_ref, tot_ref,
+         carry_out, sems, fscratch, pscratch) = rest
         return _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf,
                                     seedf, raggedf, fwd_ref, None,
                                     post_ref, tot_ref, None, None,
@@ -844,7 +844,7 @@ def _sm3_backward_kernel(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                                     X=X, ND=ND, C=C, R=R, W=W, NP=NP,
                                     spec=spec, with_exp=False, tile=tile,
                                     tscal=tscal, carry_in=carry_in,
-                                    carry_out=carry_out)
+                                    carry_out=carry_out, shf_ref=shf_ref)
     if streamed:
         est_ref, rest = rest[0], rest[1:]
     post_ref, tot_ref = rest[:2]
@@ -875,7 +875,7 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
                          acc_ref, sems, fscratch, pscratch, ascr, escr, *,
                          X, ND, C, R, W, NP, spec, with_exp=False,
                          tile=None, tscal=None, carry_in=None,
-                         carry_out=None):
+                         carry_out=None, shf_ref=None):
     """Band-local full backward sweep d = ND..1: every tile lives in its
     diagonal's [R, W] group window; carried tiles re-align between windows
     with one dynamic lane-roll per state.  Forward windows arrive from HBM
@@ -911,10 +911,18 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         first = tscal[0, 4] > 0
         last = tscal[0, 5] > 0
         n_steps = tile["TD"]
+        # per-tile log-space shift correction [R, 1]: the fwd plane rows
+        # of this tile carry cumulative re-centering shift A_t and the
+        # bwd carry B_t (applied between tile calls, _tile_steps) — the
+        # carried `total` stays ABSOLUTE, so posteriors repay A_t + B_t
+        # here, exactly (shifts are plain subtractions that propagate
+        # linearly through the log-space recursions)
+        shf1 = shf_ref[0][:, 0:1]
     else:
         d0, dH, xoff, cy = 0, ND, 0, C
         first = last = True
         n_steps = ND
+        shf1 = None
 
     def ld(d):
         # local index into the tile's metadata slice (identity untiled)
@@ -1129,6 +1137,10 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         for i in range(1, S):
             prod = _log_add(prod, f[i] + bw[i])
         t0 = _masked_lse(prod, mask)
+        if shf1 is not None:
+            # seed in the ABSOLUTE frame: stored DP rows are
+            # (absolute - shift), so absolute = stored + shift
+            t0 = t0 + shf1
         total = total * keep + t0 * sa
 
         if with_exp:
@@ -1149,8 +1161,10 @@ def _sm3_backward_body_w(scal, winf, xf, yf, basef, widthf, seedf, raggedf,
         post_states = getattr(spec, "POST_STATES", (0,))
 
         def post_of(si):
-            return jnp.where(ok, jnp.exp(jnp.minimum(
-                f[si] + bw[si] - total, 0.69)), 0.0)
+            z = f[si] + bw[si] - total
+            if shf1 is not None:
+                z = z + shf1  # f @ A_t + bw @ B_t vs absolute total
+            return jnp.where(ok, jnp.exp(jnp.minimum(z, 0.69)), 0.0)
 
         pslot = s % 2
 
@@ -2217,7 +2231,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                       else (NDT + 1, NPS, R, W))
 
         def bwd(scal, win_t, xf_t, yf_t, basef_t, widthf_t, seedf_t,
-                raggedf_t, fwd_plane, tscal, carry, post):
+                raggedf_t, fwd_plane, tscal, shf, carry, post):
             G = xf_t.shape[0] // R
             return pl.pallas_call(
                 bwd_kernel,
@@ -2227,6 +2241,7 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                     vspec((R, TDL)),
                     pl.BlockSpec(memory_space=pl.ANY),
                     tscal_spec,
+                    vspec((1, R, 128)),
                     vspec((1, NC, R, W)),
                     pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -2243,11 +2258,11 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                     pltpu.VMEM((2, R, W) if NPS == 1
                                else (2, NPS, R, W), jnp.float32),
                 ],
-                input_output_aliases={11: 0},
+                input_output_aliases={12: 0},
                 compiler_params=pltpu.CompilerParams(has_side_effects=True),
                 interpret=self.interpret,
             )(scal, win_t, xf_t, yf_t, basef_t, widthf_t, seedf_t,
-              raggedf_t, fwd_plane, tscal, carry, post)
+              raggedf_t, fwd_plane, tscal, shf, carry, post)
 
         self._cache[key] = (fwd, bwd, NC)
         return self._cache[key]
@@ -2264,7 +2279,23 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         R = self.group
         NXF = self.spec.NXF
         YR = getattr(self.spec, "Y_ROWS", 2)
+        S = self.spec.S
         fwd_p, bwd_p, NC = self._fns_tiled(XT, YT, TDL, TD, NDT, W)
+
+        def recenter(carry, acc, n_rows):
+            """Per-tile log-space re-centering: shift each read's DP
+            carry rows so their max is ~0 — f32 runs out of absolute
+            log precision past ~30k diagonals (values reach -1e5+,
+            where one ulp is ~0.01 and the fwd/bwd rounding walks
+            destroy mid-sequence posteriors).  Shifts propagate
+            linearly through the log recursion and are repaid exactly
+            in the backward's posterior normalization (shf input).
+            Rows beyond n_rows (total / emission carries) are absolute
+            quantities and stay unshifted."""
+            m = jnp.max(carry[:, :n_rows], axis=(1, 3))      # [G, R]
+            c = jnp.where(m > -1e20, m, 0.0)                 # skip unseeded
+            carry = carry.at[:, :n_rows].add(-c[:, None, :, None])
+            return carry, acc + c
 
         def slices(d0, xoffs, yoffs, xfp, yfp, win3, basef, widthf):
             G = xoffs.shape[0]
@@ -2287,22 +2318,30 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                     yf_t.reshape(G * R, YR, YT), basef_t, widthf_t)
 
         def fwd_step(d0, tsc, xoffs, yoffs, scal, xfp, yfp, win3, basef,
-                     widthf, carry, plane):
+                     widthf, carry, plane, A):
+            carry, A = recenter(carry, A, 2 * S)
             win_t, xf_t, yf_t, basef_t, widthf_t = slices(
                 d0, xoffs, yoffs, xfp, yfp, win3, basef, widthf)
-            return fwd_p(scal, win_t, xf_t, yf_t, basef_t, widthf_t,
-                         tsc, carry, plane)
+            plane, carry = fwd_p(scal, win_t, xf_t, yf_t, basef_t,
+                                 widthf_t, tsc, carry, plane)
+            return plane, carry, A
 
         def bwd_step(d0, tsc, xoffs, yoffs, scal, xfp, yfp, win3, basef,
-                     widthf, seedf, raggedf, fwd_plane, carry, post):
+                     widthf, seedf, raggedf, fwd_plane, carry, post, B,
+                     A_t):
+            carry, B = recenter(carry, B, 2 * S)
+            G = carry.shape[0]
+            shf = jnp.broadcast_to((A_t + B)[:, :, None], (G, R, 128))
             win_t, xf_t, yf_t, basef_t, widthf_t = slices(
                 d0, xoffs, yoffs, xfp, yfp, win3, basef, widthf)
             Bp = basef.shape[0]
             z = jnp.zeros((), d0.dtype)
             seedf_t = jax.lax.dynamic_slice(seedf, (z, d0), (Bp, TDL))
             raggedf_t = jax.lax.dynamic_slice(raggedf, (z, d0), (Bp, TDL))
-            return bwd_p(scal, win_t, xf_t, yf_t, basef_t, widthf_t,
-                         seedf_t, raggedf_t, fwd_plane, tsc, carry, post)
+            post, totals, carry = bwd_p(
+                scal, win_t, xf_t, yf_t, basef_t, widthf_t, seedf_t,
+                raggedf_t, fwd_plane, tsc, shf, carry, post)
+            return post, totals, carry, B
 
         fns = (jax.jit(fwd_step, donate_argnums=(10, 11)),
                jax.jit(bwd_step, donate_argnums=(13, 14)), NC)
@@ -2419,20 +2458,27 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         NPS = len(getattr(self.spec, "POST_STATES", (0,)))
         plane = jnp.zeros((G, NDT + 1, S, R, W), jnp.float32)
         carry = jnp.zeros((G, 2 * S, R, W), jnp.float32)
+        # A_ts[t] = cumulative re-centering shift of the fwd plane rows
+        # written during tile t (see _tile_steps.recenter)
+        A = jnp.zeros((G, R), jnp.float32)
+        A_ts = []
         for t in range(NT):
-            plane, carry = fwd_step(d0s_d[t], tsf_d[t], xoff_d[:, t],
-                                    yoff_d[:, t], scal, xfp, yfp, win3_e,
-                                    basef, widthf, carry, plane)
+            plane, carry, A = fwd_step(d0s_d[t], tsf_d[t], xoff_d[:, t],
+                                       yoff_d[:, t], scal, xfp, yfp,
+                                       win3_e, basef, widthf, carry,
+                                       plane, A)
+            A_ts.append(A)
         post_shape = ((G, NDT + 1, R, W) if NPS == 1
                       else (G, NDT + 1, NPS, R, W))
         post = jnp.zeros(post_shape, jnp.float32)
         bcarry = jnp.zeros((G, NC, R, W), jnp.float32)
+        Bsh = jnp.zeros((G, R), jnp.float32)
         totals = None
         for t in reversed(range(NT)):
-            post, totals, bcarry = bwd_step(
+            post, totals, bcarry, Bsh = bwd_step(
                 d0s_d[t], tsb_d[t], xoff_d[:, t], yoff_d[:, t], scal,
                 xfp, yfp, win3_e, basef, widthf, seedf, raggedf, plane,
-                bcarry, post)
+                bcarry, post, Bsh, A_ts[t])
 
         out = {"posteriors": post, "totals": totals, "prep": prep}
         # per-diagonal-chunk exact top-k compaction (one full-plane top-k

@@ -4,10 +4,12 @@ The tiled path (`_run_tiled`, ops/pallas_fb.py) matches the reference
 banded engine's O(band x window)-memory-at-any-length capability
 (impl/pairwiseAligner.c:919-1055) by sweeping TD-diagonal tiles with
 chained carries.  The per-diagonal compute is identical to the untiled
-kernels, so posteriors, totals, and extracted pairs must be
-BIT-identical — pinned here on CPU interpret mode with tiles forced
-small (tile_diag=128) so several tiles cover ordinary fixture-scale
-reads.
+kernels; the per-tile log-space re-centering (which keeps f32 usable to
+chromosome scale — shifts cancel exactly in the posterior via the
+backward's shf correction) only perturbs rounding, so posteriors,
+totals, and extracted pair decisions must agree to float tolerance —
+pinned here on CPU interpret mode with tiles forced small
+(tile_diag=128) so several tiles cover ordinary fixture-scale reads.
 """
 
 import numpy as np
@@ -43,19 +45,35 @@ def _dense_anchors(l_x, l_y, step):
     return anchors
 
 
+REL = 1e-2  # the re-centering perturbs f32 rounding against the large
+# (-1e4..-1e5) log totals either way; drift stays at the same level as
+# the documented engine-vs-pallas score drift (~1e-3 relative)
+
+
 def _assert_same_pairs(out_t, out_u, n_diags, threshold):
+    from cpecan_tpu.constants import PAIR_ALIGNMENT_PROB_1
+    tol = int((REL + 155 / PAIR_ALIGNMENT_PROB_1) * PAIR_ALIGNMENT_PROB_1)
     for i, nd in enumerate(n_diags):
         pt = extract_pairs_long(out_t, i, nd, threshold, as_array=True)
         pu = extract_pairs_auto(out_u, i, nd, threshold, as_array=True)
-        pu = pu[np.argsort(pu[:, 1] + pu[:, 2], kind="stable")]
-        assert pt.shape == pu.shape, (i, pt.shape, pu.shape)
-        st = pt[np.lexsort((pt[:, 2], pt[:, 1]))]
-        su = pu[np.lexsort((pu[:, 2], pu[:, 1]))]
-        # pair DECISIONS exact; scores may differ by one u16 wire step
-        # when only one side's top-k saturated into the f32 full-plane
-        # fallback (1e7 / 65535 ~ 153)
-        np.testing.assert_array_equal(st[:, 1:], su[:, 1:])
-        assert np.abs(st[:, 0] - su[:, 0]).max(initial=0) <= 153
+        mt = {(x, y): s for s, x, y in pt.tolist()}
+        mu = {(x, y): s for s, x, y in pu.tolist()}
+        near = (threshold + REL) * PAIR_ALIGNMENT_PROB_1
+        for k in set(mt) ^ set(mu):
+            # a pair present on one side only must sit at the threshold
+            s = mt.get(k, mu.get(k))
+            assert s <= near, (i, k, s)
+        for k in set(mt) & set(mu):
+            assert abs(mt[k] - mu[k]) <= tol, (i, k, mt[k], mu[k])
+
+
+def _assert_close_planes(out_t, out_u):
+    pu = np.asarray(out_u["posteriors"])
+    pt = np.asarray(out_t["posteriors"])[:, :pu.shape[1]]
+    np.testing.assert_allclose(pt, pu, atol=REL)
+    np.testing.assert_allclose(np.asarray(out_t["totals"]),
+                               np.asarray(out_u["totals"]),
+                               atol=5e-2, rtol=1e-6)
 
 
 def test_tiled_matches_untiled_strawman():
@@ -66,14 +84,8 @@ def test_tiled_matches_untiled_strawman():
     out_u = pa.run(sm, reads, compact_k=512)
     out_t = pa.run(sm, reads, compact_k=512, tile_diag=128)
     nd = [b.n_diag for b in out_u["prep"]["bands"]]
-    NDT = out_t["tiled"]["NDT"]
     assert out_t["tiled"]["NT"] > 3
-    # posterior planes bit-identical over the untiled diagonal range
-    pu = np.asarray(out_u["posteriors"])
-    pt = np.asarray(out_t["posteriors"])[:, :pu.shape[1]]
-    np.testing.assert_array_equal(pt, pu)
-    np.testing.assert_array_equal(np.asarray(out_t["totals"]),
-                                  np.asarray(out_u["totals"]))
+    _assert_close_planes(out_t, out_u)
     _assert_same_pairs(out_t, out_u, nd, params.threshold)
 
 
@@ -101,11 +113,7 @@ def test_tiled_matches_untiled_dna5():
     pa = Dna5PallasAligner(params, interpret=True)
     out_u = pa.run(sm, reads, compact_k=512)
     out_t = pa.run(sm, reads, compact_k=512, tile_diag=128)
-    pu = np.asarray(out_u["posteriors"])
-    pt = np.asarray(out_t["posteriors"])[:, :pu.shape[1]]
-    np.testing.assert_array_equal(pt, pu)
-    np.testing.assert_array_equal(np.asarray(out_t["totals"]),
-                                  np.asarray(out_u["totals"]))
+    _assert_close_planes(out_t, out_u)
     nd = [b.n_diag for b in out_u["prep"]["bands"]]
     _assert_same_pairs(out_t, out_u, nd, params.threshold)
 

@@ -172,7 +172,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", type=int, default=100_000)
     ap.add_argument("--tile", type=int, default=2048)
-    ap.add_argument("--compact-k", type=int, default=1024)
+    ap.add_argument("--compact-k", type=int, default=2048)
     ap.add_argument("--group", type=int, default=8)
     ap.add_argument("--skip-signal", action="store_true")
     args = ap.parse_args()
