@@ -290,8 +290,59 @@ def _get_poset_lib():
             lib.poset_consistent.argtypes = [vp, ctypes.c_int, vp, vp,
                                              ctypes.c_int, vp, vp]
             lib.poset_merge.argtypes = [vp, ctypes.c_int, vp, vp]
+            if hasattr(lib, "msa_greedy"):
+                lib.msa_greedy.restype = ctypes.c_int
+                lib.msa_greedy.argtypes = [
+                    ctypes.c_int, vp, ctypes.c_int64, vp, vp, vp, vp, vp,
+                    ctypes.c_double, vp]
         _poset_lib = lib
     return _poset_lib
+
+
+def _native_greedy(seq_frags, multiple_aligned_pairs, match_gamma, rng):
+    """The whole greedy column build in one native call
+    (native/msa_columns.cc::msa_greedy) — heap, union-find, weight graph,
+    and poset closure together; the per-candidate Python overhead was the
+    MSA bench's dominant cost.  Draws the same rng tie-break noise in the
+    same order as WeightGraph.__init__ (so outer rng streams stay
+    aligned), mirrors decisions exactly (differential tests vs the Python
+    loop).  Returns None when the native library is unavailable."""
+    lib = _get_poset_lib()
+    if lib is None or not hasattr(lib, "msa_greedy"):
+        return None
+    n = len(seq_frags)
+    lengths = np.ascontiguousarray([f.length for f in seq_frags], np.int64)
+    m = len(multiple_aligned_pairs)
+    arr = (np.asarray(multiple_aligned_pairs, np.float64).reshape(m, 5)
+           if m else np.zeros((0, 5)))
+    noise = np.asarray([rng.random() for _ in range(m)], np.float64)
+    av = np.ascontiguousarray(arr[:, 0] / PAIR_ALIGNMENT_PROB_1
+                              + noise * 0.00001)
+    s1 = np.ascontiguousarray(arr[:, 1], np.int32)
+    p1 = np.ascontiguousarray(arr[:, 2], np.int32)
+    s2 = np.ascontiguousarray(arr[:, 3], np.int32)
+    p2 = np.ascontiguousarray(arr[:, 4], np.int32)
+    total = int(lengths.sum())
+    assign = np.empty(total, np.int32)
+    rc = lib.msa_greedy(n, lengths.ctypes.data, m, s1.ctypes.data,
+                        p1.ctypes.data, s2.ctypes.data, p2.ctypes.data,
+                        av.ctypes.data, float(match_gamma),
+                        assign.ctypes.data)
+    if rc != 0:
+        return None
+    columns = Columns(seq_frags)
+    reps = {}
+    flat = 0
+    for s in range(n):
+        for p in range(int(lengths[s])):
+            root = int(assign[flat])
+            flat += 1
+            rep = reps.get(root)
+            if rep is None:
+                reps[root] = (s, p)
+            else:
+                columns.union(rep, (s, p))
+    return columns
 
 
 def _make_poset(lengths, backend="auto"):
@@ -356,6 +407,11 @@ def make_columns_greedy(seq_frags, multiple_aligned_pairs, match_gamma,
     direct per-candidate DAG search (`_columns_consistent`) — same
     decisions, O(columns) slower per candidate, kept for differential
     testing."""
+    if consistency == "poset":
+        cols = _native_greedy(seq_frags, multiple_aligned_pairs,
+                              match_gamma, rng or random.Random(0))
+        if cols is not None:
+            return cols
     columns = Columns(seq_frags)
     graph = WeightGraph(columns, multiple_aligned_pairs, rng=rng)
     lengths = [f.length for f in seq_frags]

@@ -1433,6 +1433,9 @@ class _PallasAlignerBase:
         # (feature assembly and band construction then SPMD-partition
         # under jit with no resharding); model tables stay replicated
         self._dput = jax.device_put
+        # model-table hook: identity normally (tables are cached device
+        # arrays); mesh runs swap in a replicated device_put
+        self._tab_put = lambda x: x
 
     # subclass hooks -----------------------------------------------------
     def _scalars(self, sm):
@@ -1853,16 +1856,13 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if getattr(self.spec, "STREAMED", False):
-            raise NotImplementedError(
-                "streamed (HDP) specs are not mesh-sharded yet; use the "
-                "single-device run or shard batches across processes")
         axis = mesh.axis_names[0]
         n_dev = int(np.prod(mesh.devices.shape))
         shard_reads = NamedSharding(mesh, P(axis))
         repl = NamedSharding(mesh, P())
-        old_dput = self._dput
+        old_dput, old_tput = self._dput, self._tab_put
         self._dput = lambda x: jax.device_put(x, shard_reads)
+        self._tab_put = lambda x: jax.device_put(x, repl)
         try:
             prep = self.prepare(sm, reads, ragged_right=ragged_right,
                                 scale_params=scale_params,
@@ -1879,8 +1879,15 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                 prep["NDp"], prep["anch"].shape[1])(
                 self._dput(prep["anch"]), self._dput(prep["meta"]))
             win3 = self._dput(prep["win"][:, None, :])
+            # streamed (HDP) emission stream, built SHARDED: the density
+            # matmul + skew-gather are per-read, so the build itself
+            # SPMD-partitions over the mesh; pin the result's sharding
+            # in case the partitioner chose otherwise
+            extra = tuple(jax.device_put(e, shard_reads)
+                          for e in self._stream_args(sm, prep))
         finally:
-            self._dput = old_dput
+            self._dput, self._tab_put = old_dput, old_tput
+        ne = len(extra)
 
         out = {"prep": prep}
         if expectations:
@@ -1901,45 +1908,47 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             valid_d = jax.device_put(valid, shard_reads)
             n_diag_d = jax.device_put(n_diag, shard_reads)
 
-            key = ("meshexp", X, ND, C, W, R, axis, n_dev, aux_keys,
+            key = ("meshexp", X, ND, C, W, R, axis, n_dev, aux_keys, ne,
                    self.spec.__name__)
             if key not in self._cache:
                 na = len(aux_keys)
 
                 def go(scal, win3, xf, yf, basef, widthf, seedf, raggedf,
-                       valid, n_diag, *aux_vals):
-                    fwd = fwd_fn(scal, win3, xf, yf, basef, widthf)
+                       valid, n_diag, *rest):
+                    aux_vals, est = rest[:na], rest[na:]
+                    fwd = fwd_fn(scal, win3, xf, yf, basef, widthf, *est)
                     _posts, totals, trans, gapx = bwd_exp_fn(
                         scal, win3, xf, yf, basef, widthf, seedf,
-                        raggedf, fwd)
+                        raggedf, fwd, *est)
                     return self._exp_device_reduce(
                         trans, gapx, totals, dict(zip(aux_keys, aux_vals)),
                         valid, n_diag, axis)
 
-                in_specs = ((P(),) + (P(axis),) * (9 + na))
+                in_specs = ((P(),) + (P(axis),) * (9 + na + ne))
                 self._cache[key] = jax.jit(shard_map(
                     go, mesh=mesh, in_specs=in_specs, out_specs=P(),
                     check_vma=False))
             out["expectations_reduced"] = self._cache[key](
                 scal, win3, xf, yf, basef, widthf, seedf, raggedf,
-                valid_d, n_diag_d, *aux_vals)
+                valid_d, n_diag_d, *aux_vals, *extra)
             return out
 
         k_eff = min(compact_k, ND * W)
-        key = ("meshpost", X, ND, C, W, R, axis, n_dev, k_eff,
+        key = ("meshpost", X, ND, C, W, R, axis, n_dev, k_eff, ne,
                self.spec.__name__)
         if key not in self._cache:
-            def go(scal, win3, xf, yf, basef, widthf, seedf, raggedf):
-                fwd = fwd_fn(scal, win3, xf, yf, basef, widthf)
+            def go(scal, win3, xf, yf, basef, widthf, seedf, raggedf,
+                   *est):
+                fwd = fwd_fn(scal, win3, xf, yf, basef, widthf, *est)
                 posts, totals = bwd_fn(scal, win3, xf, yf, basef, widthf,
-                                       seedf, raggedf, fwd)
+                                       seedf, raggedf, fwd, *est)
                 return (posts, totals) + compact_posteriors(posts, k_eff)
 
             self._cache[key] = jax.jit(shard_map(
-                go, mesh=mesh, in_specs=(P(),) + (P(axis),) * 7,
+                go, mesh=mesh, in_specs=(P(),) + (P(axis),) * (7 + ne),
                 out_specs=(P(axis),) * 5, check_vma=False))
         posts, totals, *comp = self._cache[key](
-            scal, win3, xf, yf, basef, widthf, seedf, raggedf)
+            scal, win3, xf, yf, basef, widthf, seedf, raggedf, *extra)
         out.update(posteriors=posts, totals=totals, compact=tuple(comp))
         return out
 
@@ -2942,10 +2951,10 @@ class HdpPallasAligner(StrawmanPallasAligner):
 
             self._cache[key] = jax.jit(build)
         fn = self._cache[key]
-        est = fn(jax.device_put(prep["win"].astype(np.int32)),
-                 jax.device_put(prep["codes"]),
-                 jax.device_put(np.ascontiguousarray(prep["ev"][:, :, 0])),
-                 tables_dev, slopes_dev,
+        est = fn(self._dput(prep["win"].astype(np.int32)),
+                 self._dput(prep["codes"]),
+                 self._dput(np.ascontiguousarray(prep["ev"][:, :, 0])),
+                 self._tab_put(tables_dev), self._tab_put(slopes_dev),
                  np.float32(grid[0]), np.float32(grid[1] - grid[0]),
                  np.float32(grid[-1]))
         return (est,)

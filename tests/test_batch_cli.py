@@ -308,3 +308,44 @@ def test_run_batch_fast_unknown_rejected():
     with pytest.raises(ValueError, match="sm_type"):
         run_batch_fast(REF, [], "/tmp/x", template_model_file=TMODEL,
                        complement_model_file=CMODEL, sm_type="sixState")
+
+
+@pytest.mark.slow
+def test_run_batch_fast_mesh(tmp_path, zymo_reference_seq, zymo_npread):
+    """run_batch_fast(mesh=...) end-to-end on the Zymo read: the sharded
+    pipeline must produce the same tsv pair rows as the single-device
+    fast path (mesh pair parity is exact, tests/test_mesh_pallas.py)."""
+    import numpy as np
+
+    import jax
+    from jax.sharding import Mesh
+
+    from cpecan_tpu.pipeline.signal_align_batch import run_batch_fast
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 (virtual) devices")
+    mesh = Mesh(np.asarray(devs[:4]), ("data",))
+
+    guide = _zymo_guides(tmp_path, zymo_reference_seq, zymo_npread)
+    qname = guide.split()[1]
+    reads = tmp_path / "reads"
+    reads.mkdir()
+    shutil.copy(NPREAD, reads / f"{qname}.npRead")
+    pairs = [(str(reads / f"{qname}.npRead"), guide)]
+
+    out1 = tmp_path / "single"
+    res1 = run_batch_fast(REF, pairs, str(out1),
+                          template_model_file=TMODEL,
+                          complement_model_file=CMODEL,
+                          log=lambda m: None)
+    out2 = tmp_path / "mesh"
+    res2 = run_batch_fast(REF, pairs, str(out2),
+                          template_model_file=TMODEL,
+                          complement_model_file=CMODEL,
+                          log=lambda m: None, mesh=mesh)
+    assert len(res1) == len(res2) == 1 and res1[0][1] and res2[0][1]
+    rows1 = (out1 / f"{qname}.tsv").read_text().splitlines()
+    rows2 = (out2 / f"{qname}.tsv").read_text().splitlines()
+    assert set(rows1) == set(rows2)
+    assert len(rows1) > 1000

@@ -163,3 +163,48 @@ def test_poset_checker_matches_bfs_checker():
         import pytest
         pytest.skip("native msa_columns unavailable — only the numpy "
                     "backend was differentially tested")
+
+
+def test_native_greedy_matches_python_loop():
+    """The one-call native greedy driver (native/msa_columns.cc::msa_greedy)
+    must make exactly the decisions of the Python heap loop: same column
+    partitions on randomized instances (including duplicate edges, ties
+    broken by the shared rng noise stream, and sub-gamma cutoffs)."""
+    from cpecan_tpu.msa.multiple_aligner import _native_greedy
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randrange(3, 7)
+        seqs = ["".join(rng.choice("ACGT") for _ in range(
+            rng.randrange(6, 14))) for _ in range(n)]
+        frags = [SeqFrag(s, i, i + n) for i, s in enumerate(seqs)]
+        maps = []
+        for s1 in range(n):
+            for s2 in range(s1 + 1, n):
+                for _ in range(rng.randrange(4, 16)):
+                    i = rng.randrange(len(seqs[s1]))
+                    j = rng.randrange(len(seqs[s2]))
+                    maps.append((rng.randrange(1, 10_000_000),
+                                 s1, i, s2, j))
+        # a few duplicate (position, position) edges: dict-overwrite
+        # semantics must match
+        for _ in range(3):
+            sc, a, i, b, j = maps[rng.randrange(len(maps))]
+            maps.append((rng.randrange(1, 10_000_000), a, i, b, j))
+        gamma = rng.choice([0.05, 0.2, 0.5])
+        nat = _native_greedy(frags, maps, gamma, random.Random(seed + 100))
+        assert nat is not None
+
+        # Python loop with the same rng stream: force it by bypassing the
+        # native shortcut (consistency="poset-numpy" uses the numpy poset)
+        py = make_columns_greedy(frags, maps, gamma,
+                                 rng=random.Random(seed + 100),
+                                 consistency="poset-numpy")
+
+        def parts(cols):
+            groups = {}
+            for root, members in cols.members.items():
+                groups[min(members)] = sorted(members)
+            return groups
+
+        assert parts(nat) == parts(py), seed
