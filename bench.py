@@ -490,7 +490,7 @@ def bench_msa():
         return "".join(c if rng.random() > 0.08 else rng.choice("ACGT")
                        for c in s)
 
-    frags = [SeqFrag(mutate(base), 2 * i, 2 * i + 1) for i in range(16)]
+    frags = [SeqFrag(mutate(base), 2 * i, 2 * i + 1) for i in range(32)]
     pa = Dna5PallasAligner(AlignmentParams(), interpret=False)
     n_jobs = [0]
 
@@ -515,9 +515,9 @@ def bench_msa():
     jobs = n_jobs[0]
     dt = _median_time(run)
     _emit("msa_pairwise_alignments_per_sec", jobs / dt,
-          f"pairwise alignments/s inside makeAlignment (16x 1kb seqs, "
+          f"pairwise alignments/s inside makeAlignment (32x 1kb seqs, "
           f"2 spanning trees, {jobs} jobs total across both rounds, "
-          f"batched kernel rounds)")
+          f"batched kernel rounds, native greedy column build)")
 
 
 def bench_hdp(reads):

@@ -623,6 +623,15 @@ class _EchelonSpec:
         return [bw_m0] + [bw_m] * 5 + [bw_x]
 
 
+# --- bounded block-wavefront spike knobs (tools/exp_block_wavefront.py) ---
+# Timing-only ablations of the untiled forward: quantify how much of the
+# per-step cost is the DMA ring vs the emission build before attempting
+# any block decomposition.  Results are WRONG when enabled; production
+# code never sets these.  Numbers recorded in BASELINE.md.
+_EXP_SKIP_DMA = False
+_EXP_CONST_EMISSIONS = False
+
+
 def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
                         R, W, spec, tile=None):
     """One group of R reads: full forward pass over ND diagonals, computed
@@ -702,10 +711,11 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
     neg = jnp.full((R, W), NEG, jnp.float32) + 0.0 * lanef
 
     if tile is None:
-        for i in range(S):
-            scratch[0, i] = prev1[i]
-        pltpu.make_async_copy(scratch.at[0], out_ref.at[g, 0],
-                              sem.at[0]).start()
+        if not _EXP_SKIP_DMA:
+            for i in range(S):
+                scratch[0, i] = prev1[i]
+            pltpu.make_async_copy(scratch.at[0], out_ref.at[g, 0],
+                                  sem.at[0]).start()
     else:
         # init (d = 0 start values) only on the first tile; later tiles
         # resume from the carried DP[dA-1], DP[dA-2] tiles
@@ -756,7 +766,12 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
         p1a = [align(v, s1) for v in p1]
         p2m = [align(v, s2 - 1) for v in p2]
         xfw = _RowSlices(xf, w - xoff, W)
-        if streamed:
+        if _EXP_CONST_EMISSIONS:
+            # ablation: drop the per-step y-slice + emission build (keeps
+            # the recurrence data-dependent through p1m/p1a/p2m)
+            e_match = zeros - 1.0
+            e_gapy = zeros - 2.0
+        elif streamed:
             e_match = fetch_est(d)
             e_gapy = e_match
         else:
@@ -781,15 +796,17 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
             # or the first-tile d=0 pre-write)
             wait_pred = jnp.where(first, d >= 2, s >= 2)
 
-        @pl.when(wait_pred)
-        def _():
-            pltpu.make_async_copy(scratch.at[slot], out_ref.at[g, d - 2],
-                                  sem.at[slot]).wait()
+        if not _EXP_SKIP_DMA:
+            @pl.when(wait_pred)
+            def _():
+                pltpu.make_async_copy(scratch.at[slot],
+                                      out_ref.at[g, d - 2],
+                                      sem.at[slot]).wait()
 
-        for i in range(S):
-            scratch[slot, i] = new[i]
-        pltpu.make_async_copy(scratch.at[slot], out_ref.at[g, d],
-                              sem.at[slot]).start()
+            for i in range(S):
+                scratch[slot, i] = new[i]
+            pltpu.make_async_copy(scratch.at[slot], out_ref.at[g, d],
+                                  sem.at[slot]).start()
         return tuple(new) + tuple(p1)
 
     if tile is None:
@@ -809,6 +826,16 @@ def _sm3_forward_kernel(scal, winf, xf, yf, basef, widthf, *rest, X, ND, C,
     if n_steps % 2:
         carry = step(n_steps, carry)
     dB = dA + n_steps - 1 if tile is not None else ND
+    if _EXP_SKIP_DMA:
+        # ablation: the per-step ring never started; keep the loop live
+        # with ONE final write of the last carry
+        for i in range(S):
+            scratch[0, i] = carry[i]
+        cp = pltpu.make_async_copy(scratch.at[0], out_ref.at[g, dB],
+                                   sem.at[0])
+        cp.start()
+        cp.wait()
+        return
     pltpu.make_async_copy(scratch.at[dB % 2], out_ref.at[g, dB],
                           sem.at[dB % 2]).wait()
     pltpu.make_async_copy(scratch.at[(dB - 1) % 2], out_ref.at[g, dB - 1],

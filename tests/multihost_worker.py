@@ -15,6 +15,10 @@ This mirrors the reference's run-the-real-thing distribution testing
 import os
 import sys
 
+# `python tests/multihost_worker.py` puts tests/ (not the repo root) on
+# sys.path; don't depend on the parent shell exporting PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 # 2 local devices per process BEFORE importing jax
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=2").strip()
