@@ -29,6 +29,13 @@ History (this machine, TPU v5e 1 chip, headline batch e2e):
      ~1320, fourState ~1240 -> ~1380, dna realign 416 -> ~534 (x32),
      echelon 302 -> ~408 (x32); echelon joined the fast pipeline
      (signal_pipeline_echelon_reads_per_sec)
+  r5 headline latency-floored (~1250-1300 on a ~15-20% slower tunnel
+     day; device kernels are ~32 ms of a ~235 ms batch median, so the
+     packed compact-pair wire (-128 KB/batch) sits below the tunnel
+     noise — BASELINE.md "Round-5 deltas").  New: 100kb single
+     alignments through the tiled fast path (long_read_bases_per_sec,
+     both dna5 and strawman ~40k bases/s); MSA workload doubled to
+     32x1kb with the native greedy column build (~19-25 jobs/s)
 vs_baseline is the ratio against the first recorded TPU measurement
 (10.2 aligns/s; the reference publishes no numbers — BASELINE.md).
 """

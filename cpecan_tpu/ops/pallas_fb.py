@@ -1831,9 +1831,25 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         fwd = fwd_fn(scal, win3, xf, yf, basef, widthf, *extra)
         out = {}
         if expectations:
-            posts, totals, trans, gapx = bwd_exp_fn(
-                scal, win3, xf, yf, basef, widthf, seedf, raggedf, fwd,
-                *extra)
+            try:
+                posts, totals, trans, gapx = bwd_exp_fn(
+                    scal, win3, xf, yf, basef, widthf, seedf, raggedf,
+                    fwd, *extra)
+            except Exception as e:  # jax.errors.JaxRuntimeError
+                if "vmem" not in str(e).lower():
+                    raise
+                # the expectation backward's per-column accumulator
+                # ladder is O(NACC * R * W) VMEM; a ragged batch widens
+                # the per-group window union W, and at group=64 the
+                # Mosaic scoped-vmem limit (16 MB) can overflow at
+                # compile time.  The EM operating point is group=32
+                # (see CLAUDE.md / BASELINE.md group-size sweep).
+                raise ValueError(
+                    f"expectation kernels exceeded the TPU's scoped "
+                    f"VMEM at group={prep['R']}, W={prep['W']}: run EM "
+                    "with group<=32 (the library default), or batch "
+                    "shape-homogeneous reads to narrow the per-group "
+                    "window union") from e
             flat = self._exp_dispatch(prep, trans, gapx, totals)
             if defer_expectations:
                 # no D2H here: the caller finalizes after dispatching the
@@ -2492,6 +2508,19 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                                                   XFL, YFL)
         scal = self._scalars(sm, ragged_left=ragged_left)
         NPS = len(getattr(self.spec, "POST_STATES", (0,)))
+        # the two band planes are the only O(length) HBM consumers:
+        # fwd [G, NDT+1, S, R, W] + posteriors [G, NDT+1, (NPS,) R, W],
+        # both f32.  On a 16 GB v5e that caps a single group=8 alignment
+        # at ~250kb (dna5, S=5) / ~400kb (strawman, S=3); fail with the
+        # remedies instead of an opaque allocator OOM.
+        plane_bytes = 4 * G * (NDT + 1) * R * W * (S + NPS)
+        if plane_bytes > 14e9:
+            raise ValueError(
+                f"banded planes need ~{plane_bytes / 1e9:.1f} GB HBM "
+                f"(ND={ND} diagonals, group={R}): split the alignment at "
+                "anchor gaps (ops/anchors.get_split_points), lower the "
+                "group size, or x-shard it over a mesh "
+                "(parallel/seqpar)")
         plane = jnp.zeros((G, NDT + 1, S, R, W), jnp.float32)
         carry = jnp.zeros((G, 2 * S, R, W), jnp.float32)
         # A_ts[t] = cumulative re-centering shift of the fwd plane rows
