@@ -130,7 +130,9 @@ def main():
         save = {f"exp_{k}": v for k, v in kexp.items()}
         for i, (ref, ev, l_x, l_y, anchors) in enumerate(reads):
             save[f"ref_{i}"] = np.frombuffer(ref.encode(), dtype=np.uint8)
-            save[f"ev_{i}"] = np.asarray(ev, np.float64)
+            save[f"ev_{i}"] = (np.frombuffer(ev.encode(), dtype=np.uint8)
+                               if isinstance(ev, str)
+                               else np.asarray(ev, np.float64))
             save[f"len_{i}"] = np.array([l_x, l_y])
             save[f"anch_{i}"] = np.array(anchors, np.int64).reshape(-1, 2)
         save["n"] = np.array([len(reads)])
