@@ -1631,8 +1631,13 @@ class StrawmanPallasAligner(_PallasAlignerBase):
         # int16 suffices below 32k columns; longer references (the tiled
         # long-alignment path) widen to int32
         A_max = max(1, max(len(r[4]) for r in reads))
+        # anchors are (x, y) pairs: the wire dtype must cover BOTH axes —
+        # a short reference with >32k events (real for long nanopore
+        # reads) would silently wrap y in int16
+        Y_max = max(r[3] for r in reads)
         anch = np.full((Bp, A_max, 2), -1,
-                       np.int16 if X < 2 ** 15 else np.int32)
+                       np.int16 if X < 2 ** 15 and Y_max < 2 ** 15
+                       else np.int32)
         meta = np.zeros((Bp, 4), np.int32)
         for r, (_x, _y, l_x, l_y, a) in enumerate(reads):
             if len(a):

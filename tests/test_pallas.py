@@ -98,6 +98,37 @@ def test_device_band_construction_matches_host(template_model):
         assert (np.asarray(raggedf[r]).sum() > 0) == bool(r % 2)
 
 
+def test_anchor_wire_survives_long_event_axis(template_model):
+    """Regression: the compact anchor wire picked int16 from the
+    reference length alone, silently wrapping anchor *y* for a short
+    reference with >32k events (real for long nanopore reads — the
+    untiled path is routed on X only).  The dtype must key on both axes
+    and the device-rebuilt band must match the host band."""
+    from cpecan_tpu.models.state_machines import StateMachine3SignalStrawman
+    from cpecan_tpu.ops.band import make_band
+
+    sm = StateMachine3SignalStrawman(template_model)
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=True, group=8)
+    l_x, l_y = 1000, 40000
+    anchors = [(100, 35000), (200, 36000)]
+    ev = np.zeros((l_y, 3))
+    ev[:, 1] = 1.0
+    read = ("A" * (l_x + 5), ev, l_x, l_y, anchors)
+    prep = pa.prepare(sm, [read])
+    assert prep["anch"].dtype == np.int32
+    np.testing.assert_array_equal(prep["anch"][0, :2],
+                                  np.asarray(anchors))
+    band = make_band(anchors, l_x, l_y, pa.params.diagonal_expansion)
+    basef, widthf, _, _ = pa._device_bands(
+        prep["NDp"], prep["anch"].shape[1])(
+        jnp.asarray(prep["anch"]), jnp.asarray(prep["meta"]))
+    n = band.n_diag
+    np.testing.assert_array_equal(np.asarray(basef[0])[: n + 1],
+                                  band.x_lo)
+    np.testing.assert_array_equal(np.asarray(widthf[0])[: n + 1],
+                                  band.width)
+
+
 def test_pallas_matches_engine_pairs(template_model, fixture_reads):
     sm = StateMachine3SignalStrawman(template_model)
     params = AlignmentParams()
