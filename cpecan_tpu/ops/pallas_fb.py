@@ -1809,6 +1809,21 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                             scale_params=scale_params,
                             shape_hint=shape_hint, bands=bands)
         X, ND, C, W = prep["X"], prep["ND"], prep["C"], prep["W"]
+        # a short reference with a very long event axis routes untiled
+        # (routing keys on X), but ND grows with BOTH axes and the fwd
+        # plane [G, NDp, S, R, W] is the dominant HBM consumer — fail
+        # with the remedies instead of an opaque allocator OOM
+        S = self.spec.S
+        NPS = len(getattr(self.spec, "POST_STATES", (0,)))
+        Gh = prep["Bp"] // prep["R"]
+        plane_bytes = 4 * Gh * prep["NDp"] * prep["R"] * W * (S + NPS)
+        if plane_bytes > 14e9:
+            raise ValueError(
+                f"banded planes need ~{plane_bytes / 1e9:.1f} GB HBM "
+                f"(ND={ND} diagonals, {Gh} groups of {prep['R']}): "
+                "dispatch the batch in smaller chunks, lower the group "
+                "size, or split the alignments at anchor gaps "
+                "(ops/anchors.get_split_points)")
         scal = self._scalars(sm, ragged_left=ragged_left)
         fwd_fn, bwd_fn, bwd_exp_fn = self._fns(X, ND, C, W)
         # features assemble on device from compact uploads (kmer indices +
