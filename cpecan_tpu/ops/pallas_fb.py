@@ -1780,9 +1780,22 @@ class StrawmanPallasAligner(_PallasAlignerBase):
             shape_hint=None, defer_expectations=False, bands=None,
             mesh=None, tile_diag=None):
         est_x = _round_up(max(r[2] for r in reads) + 2, 128)
+        # f32 posterior precision is bounded by the TOTAL log magnitude,
+        # which grows with the DIAGONAL count (x + y), not x alone: at
+        # ~20k+ diagonals the fwd/bwd rounding walks measurably distort
+        # mid-sequence posteriors (BASELINE.md "Untiled precision wall"),
+        # and the tiled path's per-tile re-centering is the fix.  Route
+        # on the estimated diagonal count.
+        est_nd = est_x + max(r[3] for r in reads) + 3
         if shape_hint is not None:
             est_x = max(est_x, _round_up(shape_hint[0] + 2, 128))
-        if tile_diag is not None or est_x >= 2 ** 15:
+            est_nd = max(est_nd, shape_hint[1])
+        streamed = getattr(self.spec, "STREAMED", False)
+        nps1 = len(getattr(self.spec, "POST_STATES", (0,))) == 1
+        nd_long = est_nd >= 2 ** 14
+        if tile_diag is not None or est_x >= 2 ** 15 or (
+                nd_long and mesh is None and not expectations
+                and not streamed and nps1):
             # long-alignment tiled path: O(tile) VMEM at any length
             if mesh is not None:
                 raise NotImplementedError(
@@ -1799,6 +1812,17 @@ class StrawmanPallasAligner(_PallasAlignerBase):
                 ragged_left=ragged_left, compact_k=compact_k,
                 scale_params=scale_params, bands=bands,
                 tile_diag=tile_diag)
+        if nd_long:
+            # expectation / mesh / streamed runs have no tiled variant:
+            # run untiled (as always) but say what that costs
+            import warnings
+            warnings.warn(
+                f"~{est_nd} diagonals on the untiled fast path: f32 "
+                "posterior precision degrades past ~16k diagonals "
+                "(BASELINE.md 'Untiled precision wall'); split the "
+                "alignment at anchor gaps (ops/anchors.get_split_points) "
+                "or use the f64 scan engine for full accuracy",
+                stacklevel=2)
         if mesh is not None:
             return self._run_mesh(
                 sm, reads, mesh=mesh, ragged_right=ragged_right,
@@ -3564,6 +3588,12 @@ def extract_pairs_auto(out, read_idx, n_diag, threshold, as_array=False):
     dropped — fall back to that read's full windowed posterior plane (one
     [ND+1, W] device->host slice)."""
     from ..constants import PAIR_ALIGNMENT_PROB_1
+    if "tiled" in out:
+        # run() routes long-diagonal batches to the tiled path (per-chunk
+        # compaction, no single "compact" output) transparently — keep
+        # extraction transparent too
+        return extract_pairs_long(out, read_idx, n_diag, threshold,
+                                  as_array=as_array)
     if out["posteriors"].ndim == 5:
         raise ValueError("multi-state posterior output: use "
                          "extract_echelon_pairs")

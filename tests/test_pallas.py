@@ -129,6 +129,36 @@ def test_anchor_wire_survives_long_event_axis(template_model):
                                   band.width)
 
 
+def test_long_diagonal_routing(template_model):
+    """run() must route on the DIAGONAL count, not x alone: f32
+    posterior precision collapses on the untiled path past ~16k
+    diagonals (BASELINE.md 'Untiled precision wall' — measured pairs
+    56 vs 5716 at ND=41k untiled, fixed by the tiled path's per-tile
+    re-centering).  Posterior runs >= 2^14 diagonals go tiled; paths
+    with no tiled variant (expectations) warn instead."""
+    from cpecan_tpu.models.state_machines import StateMachine3SignalStrawman
+
+    sm = StateMachine3SignalStrawman(template_model)
+    pa = StrawmanPallasAligner(AlignmentParams(), interpret=True, group=8)
+    calls = []
+    pa._run_tiled = lambda *a, **k: calls.append(("tiled", k)) or {
+        "tiled": True}
+    long_read = ("A" * 505, np.zeros((17000, 3)), 500, 17000,
+                 [(100, 3400), (400, 13600)])
+    out = pa.run(sm, [long_read])
+    assert out == {"tiled": True} and len(calls) == 1
+    # expectations have no tiled variant: untiled + warning.  Stub the
+    # kernel dispatch — 17k interpret-mode diagonals are not a unit test
+    pa2 = StrawmanPallasAligner(AlignmentParams(), interpret=True,
+                                group=8)
+    imps = []
+    pa2._fns = lambda *a: imps.append(a) or (_ for _ in ()).throw(
+        RuntimeError("stop-at-dispatch"))
+    with pytest.warns(UserWarning, match="16k diagonals"):
+        with pytest.raises(RuntimeError, match="stop-at-dispatch"):
+            pa2.run(sm, [long_read], expectations=True)
+
+
 def test_pallas_matches_engine_pairs(template_model, fixture_reads):
     sm = StateMachine3SignalStrawman(template_model)
     params = AlignmentParams()
