@@ -330,7 +330,8 @@ def main(argv=None, stdin=None, stdout=None):
         pa = Dna5PallasAligner(params,
                                interpret=jax.default_backend() == "cpu")
         out = pa.run(sm, jobs, ragged_left=True, ragged_right=True)
-        out["compact"] = tuple(np.asarray(a) for a in out["compact"])
+        if "compact" in out:  # tiled-routed batches compact per chunk
+            out["compact"] = tuple(np.asarray(a) for a in out["compact"])
         per_aln = [[] for _ in deferred]
         for i, (di, x1, y1) in enumerate(job_owner):
             sub_pairs = extract_pairs_auto(

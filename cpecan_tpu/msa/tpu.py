@@ -98,11 +98,14 @@ def tpu_batch_align_fn(params=None, sm=None, aligner=None, interpret=None,
                     continue
                 out = aligner.run(sm, kjobs, ragged_left=rl,
                                   ragged_right=rr, shape_hint=hint)
-                for a in out["compact"]:
-                    a.copy_to_host_async()
+                if "compact" in out:
+                    for a in out["compact"]:
+                        a.copy_to_host_async()
                 pending.append((out, owners))
         for out, owners in pending:
-            out["compact"] = tuple(np.asarray(a) for a in out["compact"])
+            if "compact" in out:
+                out["compact"] = tuple(np.asarray(a)
+                                       for a in out["compact"])
             for i, (ji, x1, y1) in enumerate(owners):
                 sub_pairs = extract_pairs_auto(
                     out, i, out["prep"]["bands"][i].n_diag,

@@ -3637,6 +3637,13 @@ def extract_pairs_chunk(out, rels, n_diags, threshold):
     full-plane path, like ``extract_pairs_auto``.
     """
     from ..constants import PAIR_ALIGNMENT_PROB_1
+    if "tiled" in out:
+        # diagonal-keyed routing sent this batch down the tiled path
+        # (per-diagonal-chunk compaction): extract per read — already in
+        # the same sorted (score, x, y) order this function returns
+        return [extract_pairs_long(out, int(rel), int(nd_i), threshold,
+                                   as_array=True)
+                for rel, nd_i in zip(rels, n_diags)]
     vals, *idx = out["compact"]
     prep = out["prep"]
     R, W = prep["R"], prep["W"]

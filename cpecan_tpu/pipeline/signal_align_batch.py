@@ -335,8 +335,14 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
             # (and both under the next chunk's), instead of serializing
             # their ~100-250 ms tunnel latencies at drain time
             if mesh is None:
-                for arr in outs[strand]["compact"]:
-                    arr.copy_to_host_async()
+                o = outs[strand]
+                if "compact" in o:
+                    for arr in o["compact"]:
+                        arr.copy_to_host_async()
+                else:  # tiled-routed long reads: per-chunk compactions
+                    for _off, comp in o.get("compact_chunks", ()):
+                        for arr in comp:
+                            arr.copy_to_host_async()
         return outs
 
     def drain(idxs, outs):
@@ -346,7 +352,9 @@ def run_batch_fast(reference_path, npread_guide_pairs, out_dir, *,
         # one device->host transfer per strand-chunk (per-read slices of
         # device arrays would each pay the full transfer latency)
         for out in outs.values():
-            out["compact"] = tuple(np.asarray(a) for a in out["compact"])
+            if "compact" in out:
+                out["compact"] = tuple(np.asarray(a)
+                                       for a in out["compact"])
 
         # pair extraction is ONE vectorized pass per strand over the whole
         # chunk (per-read extract_pairs_auto calls were the drain's

@@ -118,6 +118,30 @@ def test_tiled_matches_untiled_dna5():
     _assert_same_pairs(out_t, out_u, nd, params.threshold)
 
 
+def test_chunk_extraction_handles_tiled_outputs():
+    """The diagonal-keyed routing (run() >= 2^14 est. diagonals) can
+    hand the batch pipelines a tiled output: extract_pairs_chunk and
+    extract_pairs_auto must return the same rows they produce on the
+    untiled wire."""
+    from cpecan_tpu.ops.pallas_fb import (extract_pairs_auto,
+                                          extract_pairs_chunk)
+    rng = np.random.default_rng(17)
+    sm, reads = _synth_signal_reads(rng, 2, 400, 350)
+    params = AlignmentParams()
+    pa = StrawmanPallasAligner(params, interpret=True)
+    out_u = pa.run(sm, reads, compact_k=512)
+    out_t = pa.run(sm, reads, compact_k=512, tile_diag=128)
+    nds = [b.n_diag for b in out_u["prep"]["bands"]]
+    got = extract_pairs_chunk(out_t, [0, 1], nds, params.threshold)
+    want = extract_pairs_chunk(out_u, [0, 1], nds, params.threshold)
+    for g, w in zip(got, want):
+        assert {tuple(r[1:]) for r in g} == {tuple(r[1:]) for r in w}
+    for i in range(2):
+        a = extract_pairs_auto(out_t, i, nds[i], params.threshold)
+        b = extract_pairs_auto(out_u, i, nds[i], params.threshold)
+        assert {(x, y) for _, x, y in a} == {(x, y) for _, x, y in b}
+
+
 def test_tiled_guards():
     rng = np.random.default_rng(1)
     sm, reads = _synth_signal_reads(rng, 1, 300, 260)
